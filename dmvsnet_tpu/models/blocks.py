@@ -1,0 +1,172 @@
+"""Conv / deconv / batch-norm building blocks (flax.linen, channels-last).
+
+These re-create the reference block semantics (reference
+networks/module.py:28-208) on NHWC / NDHWC layouts:
+
+* convolutions use explicit symmetric torch-style padding (k//2 each
+  side) — NOT XLA 'SAME', whose lopsided padding at even sizes would
+  shift activations relative to the reference;
+* transposed convolutions reproduce
+  ``nn.ConvTranspose{2,3}d(k=3, stride=2, padding=1, output_padding=1)``
+  exactly (output = 2x input) via ``lax.conv_transpose`` with padding
+  (k-1-p, k-1-p+op) and ``transpose_kernel=True``;
+* batch norm uses momentum 0.1 in torch convention (flax momentum 0.9)
+  and eps 1e-5.  Under ``jax.jit`` over a sharded mesh the batch-stat
+  reductions are global, which reproduces SyncBatchNorm
+  (reference model.py:36-37) with zero extra code;
+* weights default to torch's conv initialization
+  (U(±1/sqrt(fan_in))) so training dynamics track the reference recipe.
+
+Compute dtype is a parameter: bf16 feeds the MXU at full rate; params
+and BN statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch nn.Conv*d default: kaiming_uniform(a=sqrt(5)) == U(±sqrt(1/fan_in))
+torch_conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_conv_bias_init(key, shape, dtype, fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class ConvBlock(nn.Module):
+    """Conv{2,3}d + optional BatchNorm + optional ReLU.
+
+    Mirrors reference networks/module.py:28-63 (2D) / :120-157 (3D):
+    bias only when bn is off; torch-symmetric padding.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dims: int = 2
+    relu: bool = True
+    bn: bool = True
+    bn_momentum: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,) * self.dims,
+            strides=(self.stride,) * self.dims,
+            padding=[(pad, pad)] * self.dims,
+            use_bias=not self.bn,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    """ConvTranspose{2,3}d(k, stride=2, padding=1, output_padding=1) + BN + ReLU.
+
+    Output spatial size is exactly 2x the input (the reference's stride-2
+    crop at networks/module.py:104-106 is a no-op for these parameters).
+    ``transpose_kernel=True`` gives gradient-of-conv semantics, i.e. the
+    same operator as torch's ConvTranspose, so converted checkpoints are
+    bit-compatible up to layout.
+    """
+
+    features: int
+    kernel: int = 3
+    dims: int = 2
+    relu: bool = True
+    bn: bool = True
+    bn_momentum: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad, out_pad = self.kernel // 2, 1
+        lo = self.kernel - 1 - pad
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(self.kernel,) * self.dims,
+            strides=(2,) * self.dims,
+            padding=[(lo, lo + out_pad)] * self.dims,
+            use_bias=not self.bn,
+            transpose_kernel=True,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class PlainConv(nn.Module):
+    """A bare conv (no bn / relu), torch padding; used by the FPN heads.
+
+    Matches the raw ``nn.Conv2d`` layers at reference
+    networks/module.py:301-309 and the prob heads at :379,:421.
+    """
+
+    features: int
+    kernel: int = 1
+    dims: int = 2
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel // 2
+        fan_in = x.shape[-1] * self.kernel ** self.dims
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,) * self.dims,
+            padding=[(pad, pad)] * self.dims,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=lambda k, s, d=jnp.float32: torch_conv_bias_init(k, s, d, fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample over the two axes before channels.
+
+    Exact equivalent of ``F.interpolate(scale_factor=2, mode='nearest')``
+    (reference networks/module.py:328,333) for integer scale 2.
+    """
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)

@@ -1,0 +1,125 @@
+"""The cascade dual-depth MVS network (flagship model).
+
+Re-creates reference networks/mvsnet.py:156-260 TPU-first:
+
+* all V views go through the feature net as ONE batched conv call
+  (the reference loops views in Python, networks/mvsnet.py:199-202 —
+  batching keeps the MXU fed and makes BN statistics view-global);
+* 3 cascade stages at 1/4, 1/2, 1/1 resolution; each stage runs two
+  passes: a D-plane sweep (CostRegNet) and a 4-plane checkerboard refine
+  (CostRegNetRefine) on the "_c" feature split;
+* depth hypotheses come from `core.sampling`; the cost volume from
+  `ops.warp` (XLA path) — both channels-last.
+
+Inputs
+------
+imgs:           (B, V, H, W, 3) float, view 0 = reference view.
+proj_matrices:  {"stage1".."stage3": (B, V, 2, 4, 4)}.
+depth_values:   (B, D0) global hypothesis fan (inverse- or uniform-spaced).
+
+Outputs: flat dict with the reference's keys ("depth",
+"photometric_confidence", ...) plus per-stage dicts under "stage{i}".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dmvsnet_tpu.core import sampling
+from dmvsnet_tpu.models import depth_net
+from dmvsnet_tpu.models.cost_reg import CostRegNet, CostRegNetRefine
+from dmvsnet_tpu.models.feature_net import FeatureNet
+from dmvsnet_tpu.ops import warp as warp_ops
+
+
+class MVSNet(nn.Module):
+    ndepths: Sequence[int] = (48, 32, 8)
+    depth_interval_ratio: Sequence[float] = (4.0, 2.0, 1.0)
+    cr_base_channels: Sequence[int] = (8, 8, 8)
+    base_channels: int = 8
+    inverse_depth: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        imgs: jnp.ndarray,
+        proj_matrices: dict[str, jnp.ndarray],
+        depth_values: jnp.ndarray,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        num_stage = len(self.ndepths)
+        b, v, h, w, _ = imgs.shape
+        scale0 = 2 ** (num_stage - 1)
+        if h % (scale0 * 8) or w % (scale0 * 8):
+            raise ValueError(
+                f"image size ({h}x{w}) must be divisible by {scale0 * 8}: the "
+                "coarsest stage runs at 1/4 resolution through a 3-level "
+                "stride-2 cost U-Net"
+            )
+        for nd in self.ndepths:
+            if nd % 8:
+                raise ValueError(
+                    f"each ndepths entry must be divisible by 8 (got {self.ndepths}): "
+                    "the cost U-Net halves the plane axis three times"
+                )
+        depth_values = depth_values.astype(jnp.float32)
+        # NOTE: divided by D0, not D0-1 (reference networks/mvsnet.py:196).
+        depth_interval = (depth_values[0, -1] - depth_values[0, 0]) / depth_values.shape[1]
+
+        # --- feature extraction: one batched call over B*V images ---
+        feats = FeatureNet(self.base_channels, dtype=self.dtype, name="feature")(
+            imgs.reshape(b * v, h, w, imgs.shape[-1]), train
+        )
+        feats = {k: f.reshape(b, v, *f.shape[1:]) for k, f in feats.items()}
+
+        outputs: dict[str, Any] = {}
+        last_depth = None
+        for s in range(num_stage):
+            stage = f"stage{s + 1}"
+            scale = 2 ** (num_stage - s - 1)
+            sh, sw = h // scale, w // scale
+            proj2 = proj_matrices[stage]
+
+            if s == 0:
+                samples, interval = sampling.stage1_samples(
+                    depth_values, self.ndepths[0], sh, sw, inverse=self.inverse_depth
+                )
+            else:
+                samples, interval = sampling.cascade_samples(
+                    jax.lax.stop_gradient(last_depth),
+                    self.ndepths[s],
+                    jnp.float32(self.depth_interval_ratio[s]) * depth_interval,
+                    inverse=self.inverse_depth,
+                )
+                samples = sampling.upsample_depth_samples(samples, sh, sw)
+
+            def cost_pass(key_suffix: str, dv: jnp.ndarray) -> jnp.ndarray:
+                views = [feats[stage + key_suffix][:, i] for i in range(v)]
+                return warp_ops.aggregate_cost_volume(views, proj2, dv)
+
+            # pass 1: full-plane sweep
+            cost = cost_pass("", samples)
+            cost_reg = CostRegNet(
+                self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_{s}"
+            )(cost.astype(self.dtype), train)
+            stage_out = depth_net.forward(cost_reg, samples, interval)
+
+            # pass 2: 4-plane checkerboard refine on the "_c" features
+            dv_c = stage_out["depth_values_c"]
+            cost_c = cost_pass("_c", dv_c)
+            cost_reg_c = CostRegNetRefine(
+                self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_refine_{s}"
+            )(cost_c.astype(self.dtype), train)
+            refine_out = depth_net.refine(cost_reg_c, dv_c, interval)
+
+            stage_out = {**refine_out, **stage_out}
+            last_depth = stage_out["depth"]
+            outputs[stage] = stage_out
+            outputs.update(stage_out)
+
+        return outputs

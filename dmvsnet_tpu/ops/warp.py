@@ -89,6 +89,11 @@ def warp_src_feature(
         geometry.fuse_projection(src_proj2), geometry.fuse_projection(ref_proj2)
     )
     px, py = geometry.plane_sweep_coords(rel, depth_values, h, w)  # (B, D, H, W)
+    # The sampling grid carries no gradient (the reference computes it
+    # under torch.no_grad, networks/module.py:222): gradients flow into
+    # the warped *values* only, not the projection coordinates.
+    px = jax.lax.stop_gradient(px)
+    py = jax.lax.stop_gradient(py)
     return jax.vmap(bilinear_sample)(src_feat, px, py)
 
 
