@@ -34,6 +34,7 @@ from dmvsnet_tpu.models import depth_net
 from dmvsnet_tpu.models.cost_reg import CostRegNet, CostRegNetRefine
 from dmvsnet_tpu.models.feature_net import FeatureNet
 from dmvsnet_tpu.ops import warp as warp_ops
+from dmvsnet_tpu.parallel import mesh as mesh_lib
 
 
 class MVSNet(nn.Module):
@@ -43,6 +44,10 @@ class MVSNet(nn.Module):
     base_channels: int = 8
     inverse_depth: bool = False
     dtype: Any = jnp.float32
+    # Optional jax.sharding.Mesh with (dp, sp) axes: batch over dp, the
+    # image-height axis of cost volumes over sp (GSPMD halo-exchanges the
+    # 3D convs).  None = single-device / propagate-from-inputs.
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -100,7 +105,10 @@ class MVSNet(nn.Module):
 
             def cost_pass(key_suffix: str, dv: jnp.ndarray) -> jnp.ndarray:
                 views = [feats[stage + key_suffix][:, i] for i in range(v)]
-                return warp_ops.aggregate_cost_volume(views, proj2, dv)
+                cost = warp_ops.aggregate_cost_volume(views, proj2, dv)
+                return mesh_lib.constrain(
+                    cost, self.mesh, mesh_lib.spatial_spec(cost.ndim, h_axis=2)
+                )
 
             # pass 1: full-plane sweep
             cost = cost_pass("", samples)
