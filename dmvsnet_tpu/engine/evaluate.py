@@ -1,0 +1,126 @@
+"""Depth-map inference runner + fusion dispatch (the reference's
+Model.test, reference model.py:301-390).
+
+Per scene: per-scene T&T resolution override, a fresh eval dataset, the
+jitted infer step per sample, and the compatibility outputs —
+depth_est/*.pfm, confidence/*.pfm, cams/*_cam.txt, images/*.jpg — then
+pcd / dypcd fusion over the scan list.
+
+XLA note: jit recompiles per input shape.  Scenes resolve to a handful
+of snapped (h, w) buckets (multiples of 32, reference general_eval.py:7),
+so the compile cache warms once per bucket, not per sample.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmvsnet_tpu.config import Config
+from dmvsnet_tpu.data import get_dataset, io
+from dmvsnet_tpu.data.splits import resolve_scan_list
+from dmvsnet_tpu.engine import checkpoint as ckpt_lib
+from dmvsnet_tpu.engine.state import create_train_state, make_lr_schedule
+from dmvsnet_tpu.engine.steps import make_infer_step
+from dmvsnet_tpu.engine.train import build_model
+from dmvsnet_tpu.fusion import TANK_SCENE_CONFIG, dypcd_filter, pcd_filter
+
+
+def run_test(cfg: Config) -> None:
+    scans = resolve_scan_list(cfg.testlist, cfg.datapath)
+    model = build_model(cfg)
+    infer = make_infer_step()
+    state = None
+
+    for scene in scans:
+        max_h, max_w = cfg.max_h, cfg.max_w
+        if scene in TANK_SCENE_CONFIG:
+            sc = TANK_SCENE_CONFIG[scene]
+            max_h, max_w = sc.max_h, sc.max_w
+
+        ds = get_dataset(
+            "general_eval", cfg.datapath, [scene], cfg.num_view, "test",
+            ndepths=cfg.numdepth, interval_scale=cfg.interval_scale,
+            max_h=max_h, max_w=max_w, fix_res=cfg.fix_res,
+            inverse_depth=cfg.inverse_depth,
+        )
+        for i in range(len(ds)):
+            sample = ds[i]
+            imgs = jnp.asarray(sample["imgs"][None])
+            proj = {k: jnp.asarray(v[None]) for k, v in sample["proj_matrices"].items()}
+            dv = jnp.asarray(sample["depth_values"][None])
+
+            if state is None:
+                # init once at the first sample's shapes; restore weights
+                batch = {"imgs": imgs, "proj_matrices": proj, "depth_values": dv}
+                state = create_train_state(
+                    model, jax.random.PRNGKey(0), batch,
+                    make_lr_schedule(1e-3, 1),
+                )
+                if cfg.resume:
+                    state, _ = ckpt_lib.restore_checkpoint(
+                        cfg.resume, state, weights_only=True
+                    )
+
+            t0 = time.time()
+            depth, conf = infer(state, imgs, proj, dv)
+            depth = np.asarray(jax.block_until_ready(depth))[0]
+            conf = np.asarray(conf)[0]
+            print(
+                f"{scene} [{i}/{len(ds)}] {depth.shape} "
+                f"{time.time() - t0:.3f}s", flush=True,
+            )
+
+            fname = sample["filename"]
+            depth_path = os.path.join(cfg.outdir, fname.format("depth_est", ".pfm"))
+            conf_path = os.path.join(cfg.outdir, fname.format("confidence", ".pfm"))
+            cam_path = os.path.join(cfg.outdir, fname.format("cams", "_cam.txt"))
+            img_path = os.path.join(cfg.outdir, fname.format("images", ".jpg"))
+            io.save_pfm(depth_path, depth.astype(np.float32))
+            io.save_pfm(conf_path, conf.astype(np.float32))
+            io.write_cam_file(cam_path, sample["proj_matrices"]["stage3"][0])
+            os.makedirs(os.path.dirname(img_path), exist_ok=True)
+            cv2.imwrite(
+                img_path,
+                cv2.cvtColor(
+                    np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8),
+                    cv2.COLOR_RGB2BGR,
+                ),
+            )
+
+    fusion_args = {
+        "datapath": cfg.datapath, "outdir": cfg.outdir, "conf": tuple(cfg.conf),
+        "thres_view": cfg.thres_view, "dist_base": cfg.dist_base,
+        "rel_diff_base": cfg.rel_diff_base, "num_stage": len(cfg.ndepths),
+    }
+    if cfg.filter_method == "pcd":
+        pcd_filter(fusion_args, scans, cfg.num_worker)
+    elif cfg.filter_method == "dypcd":
+        dypcd_filter(fusion_args, scans, 1)
+    elif cfg.filter_method not in ("none", ""):
+        raise NotImplementedError(
+            f"filter_method={cfg.filter_method!r} (gipuma is disabled in the "
+            "reference too, filter/__init__.py:1)"
+        )
+
+
+def run_visualization(depth_path: str, save_dir: str = ".") -> str:
+    """PFM -> magma-colormapped PNG at the 95th percentile
+    (reference model.py:392-410)."""
+    import matplotlib.cm as cm
+    import matplotlib.colors as mcolors
+    from PIL import Image
+
+    depth, _ = io.read_pfm(depth_path)
+    vmax = np.percentile(depth, 95)
+    norm = mcolors.Normalize(vmin=depth.min(), vmax=vmax)
+    rgba = cm.ScalarMappable(norm=norm, cmap="magma").to_rgba(depth)
+    out = os.path.join(save_dir, "depth.png")
+    os.makedirs(save_dir, exist_ok=True)
+    Image.fromarray((rgba[:, :, :3] * 255).astype(np.uint8)).save(out)
+    return out

@@ -1,0 +1,168 @@
+"""Training orchestration (the reference's Model.train/validate,
+reference model.py:87-299, rebuilt around jitted steps).
+
+Per epoch: reshuffle (set_epoch), iterate host-sharded batches, one
+fused train_step per batch, tensorboard scalars/images on process 0,
+orbax checkpoint per epoch, validation every eval_freq epochs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmvsnet_tpu.config import Config
+from dmvsnet_tpu.data import get_dataset, make_loader
+from dmvsnet_tpu.data.splits import resolve_scan_list
+from dmvsnet_tpu.engine import checkpoint as ckpt_lib
+from dmvsnet_tpu.engine.state import create_train_state, make_lr_schedule
+from dmvsnet_tpu.engine.steps import make_eval_step, make_train_step
+from dmvsnet_tpu.models import MVSNet
+from dmvsnet_tpu.parallel import make_mesh, shard_batch
+
+
+class AverageMeter:
+    """Running means of a scalar dict (reference tools.py:18-37)."""
+
+    def __init__(self):
+        self.sums: dict[str, float] = {}
+        self.count = 0
+
+    def update(self, scalars: dict[str, float]):
+        self.count += 1
+        for k, v in scalars.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+
+    @property
+    def avg(self) -> dict[str, float]:
+        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+
+
+def build_model(cfg: Config, mesh=None) -> MVSNet:
+    if cfg.fea_mode != "fpn":
+        raise NotImplementedError(
+            f"fea_mode={cfg.fea_mode!r}: only 'fpn' is implemented (the "
+            "reference's unet/hrnet choices are argparse stubs too, "
+            "reference networks/module.py:277)"
+        )
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+    return MVSNet(
+        ndepths=tuple(cfg.ndepths),
+        depth_interval_ratio=tuple(cfg.interval_ratio),
+        inverse_depth=cfg.inverse_depth,
+        dtype=dtype,
+        mesh=mesh,
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        n_dev = len(jax.devices())
+        n_data = cfg.mesh_data or max(1, n_dev // cfg.mesh_spatial)
+        self.mesh = make_mesh(n_data=n_data, n_spatial=cfg.mesh_spatial)
+        self.model = build_model(cfg, mesh=self.mesh)
+
+        train_scans = resolve_scan_list(cfg.trainlist, cfg.datapath)
+        val_scans = resolve_scan_list(cfg.testlist, cfg.datapath)
+        ds_kwargs = dict(ndepths=cfg.numdepth, interval_scale=cfg.interval_scale)
+        if cfg.dataset_name == "dtu_yao":
+            ds_kwargs["img_size"] = tuple(cfg.img_size)
+        self.train_ds = get_dataset(
+            cfg.dataset_name, cfg.datapath, train_scans, cfg.nviews, "train", **ds_kwargs
+        )
+        self.val_ds = get_dataset(
+            cfg.dataset_name, cfg.datapath, val_scans, 5, "val", **ds_kwargs
+        )
+        self.train_loader = make_loader(
+            self.train_ds, cfg.batch_size, "train", seed=cfg.seed
+        )
+        self.val_loader = make_loader(self.val_ds, cfg.batch_size, "val", seed=cfg.seed)
+
+        steps_per_epoch = max(1, len(self.train_loader))
+        self.lr_schedule = make_lr_schedule(
+            cfg.lr, steps_per_epoch, cfg.scheduler, cfg.warmup,
+            cfg.milestones, cfg.lr_decay, cfg.epochs,
+        )
+        sample = next(iter(make_loader(self.train_ds, cfg.batch_size, "val")))
+        sample = jax.tree_util.tree_map(jnp.asarray, sample)
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), sample, self.lr_schedule, cfg.wd
+        )
+        self.start_epoch = cfg.start_epoch
+        if cfg.resume:
+            weights_only = cfg.blendedmvs_finetune
+            self.state, resumed_epoch = ckpt_lib.restore_checkpoint(
+                cfg.resume, self.state, weights_only=weights_only
+            )
+            if not weights_only:
+                self.start_epoch = resumed_epoch
+
+        self.train_step = make_train_step(
+            tuple(cfg.dlossw), cfg.depth_mode, self.lr_schedule
+        )
+        self.eval_step = make_eval_step(tuple(cfg.dlossw), cfg.depth_mode)
+
+        self.writer = None
+        if jax.process_index() == 0:
+            try:
+                from tensorboardX import SummaryWriter
+
+                os.makedirs(cfg.log_dir, exist_ok=True)
+                self.writer = SummaryWriter(log_dir=cfg.log_dir)
+            except ImportError:
+                pass
+
+    def _log(self, tag: str, scalars: dict, step: int):
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(f"{tag}/{k}", float(v), step)
+
+    def train(self):
+        cfg = self.cfg
+        for epoch in range(self.start_epoch, self.start_epoch + cfg.epochs):
+            self.train_loader.set_epoch(epoch)
+            meter = AverageMeter()
+            t0 = time.time()
+            for i, batch in enumerate(self.train_loader):
+                batch = shard_batch(self._to_device(batch), self.mesh)
+                self.state, scalars = self.train_step(self.state, batch)
+                scalars = {k: float(v) for k, v in scalars.items()}
+                meter.update(scalars)
+                gstep = epoch * len(self.train_loader) + i
+                if gstep % cfg.summary_freq == 0:
+                    self._log("train", scalars, gstep)
+                    print(
+                        f"epoch {epoch} [{i}/{len(self.train_loader)}] "
+                        f"loss {scalars['loss']:.3f} "
+                        f"th2 {scalars['thres2mm_error']:.3f} "
+                        f"({(time.time() - t0) / (i + 1):.2f}s/it)",
+                        flush=True,
+                    )
+            self._log("train_avg", meter.avg, epoch)
+            ckpt_lib.save_checkpoint(cfg.log_dir, epoch, self.state)
+            if epoch % cfg.eval_freq == 0 or epoch == cfg.epochs - 1:
+                self.validate(epoch)
+
+    def validate(self, epoch: int = 0):
+        meter = AverageMeter()
+        for batch in self.val_loader:
+            batch = shard_batch(self._to_device(batch), self.mesh)
+            scalars, _, _ = self.eval_step(self.state, batch)
+            meter.update({k: float(v) for k, v in scalars.items()})
+        self._log("test_avg", meter.avg, epoch)
+        print(f"validate epoch {epoch}: {meter.avg}", flush=True)
+        return meter.avg
+
+    @staticmethod
+    def _to_device(batch):
+        return {
+            k: jax.tree_util.tree_map(jnp.asarray, v)
+            for k, v in batch.items()
+            if k != "filename"
+        }

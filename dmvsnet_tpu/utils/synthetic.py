@@ -76,6 +76,86 @@ def stage_projections(cams_full: np.ndarray, num_stage: int = 3) -> dict:
     return out
 
 
+def write_eval_scene(
+    root: str, scan: str = "scan1", height: int = 128, width: int = 160,
+    n_views: int = 5, depth: float = 600.0, seed: int = 0,
+) -> None:
+    """Materialize a general_eval-format scene directory:
+    {scan}/images/*.jpg, {scan}/cams/*_cam.txt, {scan}/pair.txt
+    (the layout consumed by reference datasets/general_eval.py:138-142).
+
+    Cam files use FULL-resolution intrinsics x4 (the eval reader divides
+    by 4, reference general_eval.py:69)."""
+    import os
+
+    from PIL import Image
+
+    from dmvsnet_tpu.data import io as data_io
+
+    imgs, cams, _ = render_plane_views(height, width, n_views, depth, seed)
+    scan_dir = os.path.join(root, scan)
+    os.makedirs(os.path.join(scan_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(scan_dir, "cams"), exist_ok=True)
+    pairs = []
+    for v in range(n_views):
+        Image.fromarray((imgs[v] * 255).astype(np.uint8)).save(
+            os.path.join(scan_dir, "images", f"{v:08d}.jpg"), quality=95
+        )
+        cam = cams[v].copy()  # eval cam files carry FULL-res intrinsics;
+        # the reader's /4 (general_eval.py:69) yields the stage-1 base
+        cam[1, 3, :] = [depth - 100.0, 1.5, 192.0, depth - 100.0 + 1.5 * 192]
+        data_io.write_cam_file(os.path.join(scan_dir, "cams", f"{v:08d}_cam.txt"), cam)
+        pairs.append((v, [s for s in range(n_views) if s != v]))
+    data_io.write_pair_file(os.path.join(scan_dir, "pair.txt"), pairs)
+
+
+def write_dtu_training_tree(
+    root: str, scans=("scan1",), n_views: int = 7, height: int = 512,
+    width: int = 640, depth: float = 600.0, seed: int = 0,
+) -> None:
+    """Materialize a miniature DTU-training-format tree:
+    Cameras/pair.txt, Cameras/train/*_cam.txt, Rectified/{scan}_train/*.png,
+    Depths_raw/{scan}/depth_map_*.pfm + depth_visual_*.png
+    (the layout of reference datasets/dtu_yao.py:141-149).
+
+    GT depth/mask are written at 2x target resolution because the reader
+    downsamples x2 then center-crops (reference dtu_yao.py:78-95)."""
+    import os
+
+    from PIL import Image
+
+    from dmvsnet_tpu.data import io as data_io
+
+    imgs, cams, gt = render_plane_views(height, width, n_views, depth, seed)
+    os.makedirs(os.path.join(root, "Cameras/train"), exist_ok=True)
+    pairs = []
+    for v in range(n_views):
+        cam = cams[v].copy()
+        cam[1, :3, :] /= 4.0  # DTU-train cams are at 1/4 resolution
+        cam[1, 3, :] = [depth - 100.0, (200.0 / 192) / 1.06, 0, 0]
+        data_io.write_cam_file(
+            os.path.join(root, f"Cameras/train/{v:08d}_cam.txt"), cam
+        )
+        pairs.append((v, [s for s in range(n_views) if s != v]))
+    data_io.write_pair_file(os.path.join(root, "Cameras/pair.txt"), pairs)
+
+    gt2 = np.kron(gt, np.ones((2, 2), np.float32))  # 2x so reader's /2 recovers gt
+    for scan in scans:
+        rect = os.path.join(root, f"Rectified/{scan}_train")
+        draw = os.path.join(root, f"Depths_raw/{scan}")
+        os.makedirs(rect, exist_ok=True)
+        os.makedirs(draw, exist_ok=True)
+        for v in range(n_views):
+            for light in range(7):
+                Image.fromarray((imgs[v] * 255).astype(np.uint8)).save(
+                    os.path.join(rect, f"rect_{v + 1:03d}_{light}_r5000.png")
+                )
+            data_io.save_pfm(os.path.join(draw, f"depth_map_{v:04d}.pfm"), gt2)
+            Image.fromarray(np.full(gt2.shape, 255, np.uint8)).save(
+                os.path.join(draw, f"depth_visual_{v:04d}.png")
+            )
+
+
 def make_batch(
     batch: int = 1, n_views: int = 5, height: int = 64, width: int = 96,
     n_depths: int = 48, depth: float = 600.0, seed: int = 0,
