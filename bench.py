@@ -2,16 +2,22 @@
 
 Measures the flagship cascade (ndepths 48/32/8, interval_ratio 4/2/1,
 inverse depth, 5 views, 1152x864 — reference scripts/dtu_test.sh:8-30)
-on the available accelerator and prints ONE JSON line:
+and prints ONE JSON line:
 
   {"metric": "dtu_depth_maps_per_s", "value": N, "unit": "maps/s",
    "vs_baseline": N}
 
+Timing methodology: K full forwards run inside ONE jit dispatch (a
+lax.fori_loop whose carry perturbs the input so no iteration can be
+CSE'd away), and the resulting scalar is fetched to host.  This is
+required on this harness: dispatches travel a ~25 ms relay tunnel and
+``block_until_ready`` returns before device work completes, so naive
+per-call timing measures the tunnel, not the TPU.
+
 vs_baseline is measured throughput divided by an A100 ESTIMATE for the
-PyTorch reference (the repo publishes no numbers — BASELINE.md; the
-estimate is derived from per-iteration wall-times of comparable cascade
-MVS models).  Replace A100_EST_MAPS_PER_S with a measured value when the
-reference is benchmarked for real; the driver target is vs_baseline >= 3.
+PyTorch reference (the repo publishes no numbers — BASELINE.md).
+Replace A100_EST_MAPS_PER_S with a measured value when the reference is
+benchmarked for real; the driver target is vs_baseline >= 3.
 """
 
 from __future__ import annotations
@@ -22,6 +28,12 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Persistent XLA compile cache (full-res compiles take minutes through
+# the remote-compile tunnel; repeat runs start in seconds).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # ESTIMATE (not measured): cascade-MVS nets of this size run ~0.25-0.45 s
 # per 1152x864 5-view depth map on an A100 in fp32 torch eager.
@@ -47,8 +59,7 @@ def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS):
     dv = jnp.asarray(batch["depth_values"])
     variables = model.init(jax.random.PRNGKey(0), imgs, proj, dv)
 
-    @jax.jit
-    def infer(params, batch_stats, imgs, proj, dv):
+    def forward(params, batch_stats, imgs, proj, dv):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, imgs, proj, dv,
             train=False,
@@ -56,26 +67,35 @@ def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS):
         return out["depth"], out["photometric_confidence"]
 
     args = (variables["params"], variables["batch_stats"], imgs, proj, dv)
-    return infer, args
+    return forward, args
+
+
+def time_amortized(forward, args, iters: int) -> float:
+    """Seconds per forward, measured as ONE dispatch of `iters` forwards."""
+    params, batch_stats, imgs, proj, dv = args
+
+    @jax.jit
+    def many(params, batch_stats, imgs, proj, dv):
+        def body(i, acc):
+            depth, conf = forward(
+                params, batch_stats, imgs + acc * 1e-20, proj, dv
+            )
+            return acc + jnp.sum(depth) + jnp.sum(conf)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(np.asarray(many(*args)))  # compile + warm
+    t0 = time.perf_counter()
+    float(np.asarray(many(*args)))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
     dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 8))
 
-    infer, args = build(dtype=dtype)
-    out = infer(*args)
-    jax.block_until_ready(out)  # compile
-    for _ in range(2):
-        out = infer(*args)
-    jax.block_until_ready(out)  # warm
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-
+    forward, args = build(dtype=dtype)
+    dt = time_amortized(forward, args, iters)
     maps_per_s = 1.0 / dt
     print(
         json.dumps(

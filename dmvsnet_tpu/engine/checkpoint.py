@@ -65,6 +65,26 @@ def restore_checkpoint(path: str, state, weights_only: bool = False):
     return state, int(payload["epoch"]) + 1
 
 
+def save_weights(path: str, params, batch_stats) -> None:
+    """Weights-only checkpoint (e.g. converted from a torch .ckpt)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), {"params": params, "batch_stats": batch_stats},
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_weights(path: str, state):
+    """Restore a weights-only checkpoint written by save_weights."""
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(
+        os.path.abspath(path),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    return state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"]
+    )
+
+
 def latest_checkpoint(log_dir: str) -> str | None:
     if not os.path.isdir(log_dir):
         return None

@@ -48,7 +48,9 @@ def make_train_step(
         scalars = {"loss": loss, **metrics_lib.standard_metrics(outputs["depth"], gt, mask)}
         if lr_schedule is not None:
             scalars["lr"] = lr_schedule(state.step)
-        return new_state, scalars
+        # depth/confidence stay on device; the host only pays the copy when
+        # the trainer actually renders imagery (summary_freq steps).
+        return new_state, scalars, (outputs["depth"], outputs["photometric_confidence"])
 
     return train_step
 

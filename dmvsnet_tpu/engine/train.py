@@ -130,13 +130,22 @@ class Trainer:
             meter = AverageMeter()
             t0 = time.time()
             for i, batch in enumerate(self.train_loader):
-                batch = shard_batch(self._to_device(batch), self.mesh)
-                self.state, scalars = self.train_step(self.state, batch)
+                host_batch = self._to_device(batch)
+                batch = shard_batch(host_batch, self.mesh)
+                self.state, scalars, (depth, conf) = self.train_step(self.state, batch)
                 scalars = {k: float(v) for k, v in scalars.items()}
                 meter.update(scalars)
                 gstep = epoch * len(self.train_loader) + i
                 if gstep % cfg.summary_freq == 0:
                     self._log("train", scalars, gstep)
+                    if self.writer is not None:
+                        from dmvsnet_tpu.engine import imagery
+
+                        imagery.log_images(
+                            self.writer, "train",
+                            imagery.training_images(host_batch, depth, conf),
+                            gstep,
+                        )
                     print(
                         f"epoch {epoch} [{i}/{len(self.train_loader)}] "
                         f"loss {scalars['loss']:.3f} "

@@ -41,7 +41,7 @@ def test_train_step_reduces_loss_on_one_batch():
     step = make_train_step(lr_schedule=lr)
     losses = []
     for _ in range(8):
-        state, scalars = step(state, batch)
+        state, scalars, _ = step(state, batch)
         losses.append(float(scalars["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0] * 0.9, losses

@@ -41,7 +41,7 @@ def reference_step():
     """Single-device (replicated) train step result, shared by all tests."""
     batch, state = _setup(None)
     step = make_train_step()
-    state, scalars = step(state, batch)
+    state, scalars, _ = step(state, batch)
     return float(scalars["loss"]), state.params
 
 
@@ -51,7 +51,7 @@ def test_sharded_step_matches_single_device(reference_step, n_data, n_spatial):
     mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
     batch, state = _setup(mesh)
     step = make_train_step()
-    state, scalars = step(state, shard_batch(batch, mesh))
+    state, scalars, _ = step(state, shard_batch(batch, mesh))
     np.testing.assert_allclose(float(scalars["loss"]), ref_loss, rtol=2e-4)
     # parameters after one update agree (grad all-reduce == serial sum).
     # Tolerance: Adam's first update is ~±lr regardless of gradient
