@@ -43,13 +43,14 @@ HEIGHT, WIDTH, VIEWS = 864, 1152, 5
 NDEPTHS = (48, 32, 8)
 
 
-def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS):
+def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
+          use_pallas=False):
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
-        dtype=dtype,
+        dtype=dtype, use_pallas_warp=use_pallas,
     )
     batch = synthetic.make_batch(
         batch=1, n_views=views, height=height, width=width, n_depths=192
@@ -93,8 +94,14 @@ def time_amortized(forward, args, iters: int) -> float:
 def main():
     dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 8))
+    use_pallas = "--pallas" in sys.argv
+    if use_pallas and "--exact" not in sys.argv:
+        import jax.lax
+        from dmvsnet_tpu.ops.pallas import warp_correlate
 
-    forward, args = build(dtype=dtype)
+        warp_correlate.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+
+    forward, args = build(dtype=dtype, use_pallas=use_pallas)
     dt = time_amortized(forward, args, iters)
     maps_per_s = 1.0 / dt
     print(

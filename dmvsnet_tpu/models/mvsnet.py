@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from dmvsnet_tpu.core import sampling
 from dmvsnet_tpu.models import depth_net
-from dmvsnet_tpu.models.cost_reg import CostRegNet, CostRegNetRefine
+from dmvsnet_tpu.models.cost_reg import AggWeightNetVolume, CostRegNet, CostRegNetRefine
 from dmvsnet_tpu.models.feature_net import FeatureNet
 from dmvsnet_tpu.ops import warp as warp_ops
 from dmvsnet_tpu.parallel import mesh as mesh_lib
@@ -43,6 +43,15 @@ class MVSNet(nn.Module):
     cr_base_channels: Sequence[int] = (8, 8, 8)
     base_channels: int = 8
     inverse_depth: bool = False
+    # "variance" = unweighted view sum (the reference's shipped mode);
+    # "adaptive" = per-voxel learned view weights via AggWeightNetVolume
+    # (the reference constructs these nets but never calls them,
+    # networks/mvsnet.py:107-108 — here the mode actually works).
+    agg_mode: str = "variance"
+    # Use the fused Pallas band-matmul warp kernel for cost volumes at
+    # inference (1.9-3.2x the XLA gather path on v5e).  Training always
+    # uses the XLA path (the kernel has no VJP yet).
+    use_pallas_warp: bool = False
     dtype: Any = jnp.float32
     # Optional jax.sharding.Mesh with (dp, sp) axes: batch over dp, the
     # image-height axis of cost volumes over sp (GSPMD halo-exchanges the
@@ -105,7 +114,20 @@ class MVSNet(nn.Module):
 
             def cost_pass(key_suffix: str, dv: jnp.ndarray) -> jnp.ndarray:
                 views = [feats[stage + key_suffix][:, i] for i in range(v)]
-                cost = warp_ops.aggregate_cost_volume(views, proj2, dv)
+                if self.agg_mode == "adaptive":
+                    weight_net = AggWeightNetVolume(
+                        dtype=self.dtype, name=f"agg_weight_{s}{key_suffix}"
+                    )
+                    cost = warp_ops.aggregate_cost_volume_adaptive(
+                        views, proj2, dv,
+                        lambda sim: weight_net(sim.astype(self.dtype), train),
+                    )
+                elif self.use_pallas_warp and not train:
+                    from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_pallas
+
+                    cost = aggregate_cost_volume_pallas(views, proj2, dv)
+                else:
+                    cost = warp_ops.aggregate_cost_volume(views, proj2, dv)
                 return mesh_lib.constrain(
                     cost, self.mesh, mesh_lib.spatial_spec(cost.ndim, h_axis=2)
                 )

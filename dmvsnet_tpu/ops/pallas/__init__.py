@@ -1,0 +1,4 @@
+from dmvsnet_tpu.ops.pallas.warp_correlate import (  # noqa: F401
+    aggregate_cost_volume_pallas,
+    plane_sweep_corr_view,
+)

@@ -65,11 +65,62 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     return out
 
 
+def bilinear_sample_quad(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """bilinear_sample via ONE gather of pre-packed 2x2 quads.
+
+    TPU gathers cost per-row-take, not per-byte, so packing the four
+    bilinear taps of each pixel into one (4C)-wide row quarters the
+    gather count.  A one-pixel zero ring around the source reproduces
+    grid_sample's zero padding exactly: taps one pixel outside the image
+    read zeros from the ring; anything farther is zero-weighted.
+
+    Args:
+      img: (H, W, C); x, y: same-shaped pixel coordinates.
+
+    Returns:
+      (*x.shape, C), identical values to bilinear_sample.
+    """
+    h, w, c = img.shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    fp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [fp[:-1, :-1], fp[:-1, 1:], fp[1:, :-1], fp[1:, 1:]], axis=-1
+    )  # (H+1, W+1, 4C); quad[y+1, x+1] = taps at {y,y+1}x{x,x+1} of img
+
+    # base position in the padded frame; in-ring bases read zeros, farther
+    # ones are clamped and fully zero-weighted
+    xi = jnp.clip(x0i + 1, 0, w)
+    yi = jnp.clip(y0i + 1, 0, h)
+    covered = (x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1)
+
+    g = jnp.take(
+        quad.reshape(-1, 4 * c), (yi * (w + 1) + xi).reshape(-1), axis=0
+    ).reshape(*x.shape, 4, c)
+    wts = jnp.stack(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+    ) * covered[..., None]
+    return jnp.einsum("...t,...tc->...c", wts.astype(g.dtype), g)
+
+
+# which bilinear path aggregate_cost_volume uses: "quad" (packed single
+# gather, TPU-fast) or "taps" (4 separate gathers, the didactic reference)
+WARP_IMPL = "taps"
+
+
 def warp_src_feature(
     src_feat: jnp.ndarray,
     src_proj2: jnp.ndarray,
     ref_proj2: jnp.ndarray,
     depth_values: jnp.ndarray,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Homography-warp a source feature map over all depth hypotheses.
 
@@ -94,7 +145,11 @@ def warp_src_feature(
     # the warped *values* only, not the projection coordinates.
     px = jax.lax.stop_gradient(px)
     py = jax.lax.stop_gradient(py)
-    return jax.vmap(bilinear_sample)(src_feat, px, py)
+    sampler = {
+        "quad": bilinear_sample_quad,
+        "taps": bilinear_sample,
+    }[impl or WARP_IMPL]
+    return jax.vmap(sampler)(src_feat, px, py)
 
 
 def group_correlation(
@@ -145,5 +200,34 @@ def aggregate_cost_volume(
     for v, src_feat in enumerate(features[1:], start=1):
         warped = warp_src_feature(src_feat, proj2[:, v], proj2[:, 0], depth_values)
         corr = group_correlation(warped, ref_feat, groups).astype(jnp.float32)
+        similarity = corr if similarity is None else similarity + corr
+    return similarity
+
+
+def aggregate_cost_volume_adaptive(
+    features: list[jnp.ndarray],
+    proj2: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    weight_fn,
+    groups: int = 2,
+) -> jnp.ndarray:
+    """"adaptive" aggregation: per-view correlations weighted by a learned
+    per-voxel gate before summing.
+
+    The reference constructs AggWeightNetVolume for this mode but its
+    forward never invokes it (reference networks/mvsnet.py:102-153 has no
+    adaptive branch); this is the working realization: weight =
+    sigmoid(weight_fn(per-view correlation)).
+
+    Args:
+      weight_fn: (B, D, H, W, groups) -> (B, D, H, W, 1) logits.
+    """
+    ref_feat = features[0]
+    similarity = None
+    for v, src_feat in enumerate(features[1:], start=1):
+        warped = warp_src_feature(src_feat, proj2[:, v], proj2[:, 0], depth_values)
+        corr = group_correlation(warped, ref_feat, groups).astype(jnp.float32)
+        gate = jax.nn.sigmoid(weight_fn(corr).astype(jnp.float32))
+        corr = corr * gate
         similarity = corr if similarity is None else similarity + corr
     return similarity

@@ -147,3 +147,14 @@ def test_mvsnet_jit_and_grad(rng):
     # gradient reaches the feature net (through warp values) and cost regs
     gnorm = sum(float(jnp.sum(l ** 2)) for l in leaves)
     assert gnorm > 0
+
+
+def test_mvsnet_adaptive_aggregation(rng):
+    imgs, proj, dv = make_batch(rng, h=32, w=32, d0=16)
+    model = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1), agg_mode="adaptive")
+    proj_j = {k: jnp.asarray(p) for k, p in proj.items()}
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs), proj_j, jnp.asarray(dv))
+    # the gate nets exist and receive gradients
+    assert any("agg_weight" in k for k in variables["params"])
+    out = model.apply(variables, jnp.asarray(imgs), proj_j, jnp.asarray(dv))
+    assert np.isfinite(np.asarray(out["depth"])).all()
