@@ -63,8 +63,18 @@ def build_model(cfg: Config, mesh=None) -> MVSNet:
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        import math
+
         n_dev = len(jax.devices())
         n_data = cfg.mesh_data or max(1, n_dev // cfg.mesh_spatial)
+        # the global batch must divide over the dp axis; shrink dp to the
+        # largest compatible size rather than failing at the first step
+        if cfg.batch_size % n_data:
+            n_data = math.gcd(cfg.batch_size, n_data)
+            print(
+                f"note: dp mesh axis reduced to {n_data} "
+                f"(batch_size {cfg.batch_size} must divide over it)"
+            )
         self.mesh = make_mesh(n_data=n_data, n_spatial=cfg.mesh_spatial)
         self.model = build_model(cfg, mesh=self.mesh)
 
