@@ -42,11 +42,106 @@ def torch_conv_bias_init(key, shape, dtype, fan_in: int):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def conv3d_ddense(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """k-tap conv3d as ONE dense conv2d with the whole depth axis folded
+    into channels and a band-masked kernel.
+
+    For few-plane volumes (D < ~16) the D/3-fold FLOP redundancy of the
+    dense D-mixing is far cheaper than the conv emitter's handling of
+    small-channel NDHWC convs (7-8x faster at stage-3 shapes).  Exact.
+    """
+    b, d, h, w, ci = x.shape
+    kd_taps = kernel.shape[0]
+    co = kernel.shape[-1]
+    do = (d + 1) // 2 if stride == 2 else d
+    zeros = jnp.zeros(kernel.shape[1:3] + (ci, co), kernel.dtype)
+    cols = []
+    for od in range(do):
+        center = od * stride
+        rows = []
+        for dd in range(d):
+            dz = dd - center + kd_taps // 2
+            rows.append(kernel[dz] if 0 <= dz < kd_taps else zeros)
+        cols.append(jnp.concatenate(rows, axis=2))
+    kd = jnp.concatenate(cols, axis=3)  # (kh, kw, D*Ci, Do*Co)
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * ci)
+    y = jax.lax.conv_general_dilated(
+        x2, kd, (stride, stride),
+        [(kernel.shape[1] // 2,) * 2, (kernel.shape[2] // 2,) * 2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, y.shape[1], y.shape[2], do, co).transpose(0, 3, 1, 2, 4)
+
+
+def conv3d_dstack(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """k-tap conv3d expressed as ONE conv2d with D-shifted copies stacked
+    into channels (kernel (kd,kh,kw,Ci,Co) -> (kh,kw,kd*Ci,Co)).
+
+    TPU's conv emitter runs full-volume small-channel conv3ds ~5x slower
+    than the same FLOPs through conv2d; stacking the kd depth taps into
+    the channel axis triples the contraction width and lets the batch
+    axis carry D.  Exact (same reduction, reordered).
+    """
+    b, d, h, w, ci = x.shape
+    kd = kernel.shape[0]
+    pad = kd // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    x2 = jnp.concatenate([xp[:, dz:dz + d] for dz in range(kd)], axis=-1)
+    if stride > 1:
+        # torch stride-s windows are centered at input rows 0, s, 2s, ...
+        x2 = x2[:, ::stride]
+    x2 = x2.reshape(-1, h, w, kd * ci)
+    k2 = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+        kernel.shape[1], kernel.shape[2], kd * ci, -1
+    )
+    y = jax.lax.conv_general_dilated(
+        x2, k2, (stride, stride),
+        [(kernel.shape[1] // 2,) * 2, (kernel.shape[2] // 2,) * 2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, -1, *y.shape[1:])
+
+
+class _Conv3dDStack(nn.Module):
+    """A conv3d with nn.Conv-compatible params applied via conv3d_dstack."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param(
+            "kernel", torch_conv_kernel_init,
+            (self.kernel,) * 3 + (x.shape[-1], self.features), jnp.float32,
+        )
+        if x.shape[1] >= 16:
+            # many planes: D carries the conv2d batch axis efficiently
+            y = conv3d_dstack(
+                x.astype(self.dtype), k.astype(self.dtype), self.stride
+            )
+        else:
+            # few planes: fold D entirely into channels (band-masked dense)
+            y = conv3d_ddense(
+                x.astype(self.dtype), k.astype(self.dtype), self.stride
+            )
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class ConvBlock(nn.Module):
     """Conv{2,3}d + optional BatchNorm + optional ReLU.
 
     Mirrors reference networks/module.py:28-63 (2D) / :120-157 (3D):
-    bias only when bn is off; torch-symmetric padding.
+    bias only when bn is off; torch-symmetric padding.  3x3x3 3D convs
+    run through conv3d_dstack (numerically the same op; ~2-5x faster on
+    the TPU conv emitter at the small channel counts of this network).
     """
 
     features: int
@@ -61,17 +156,23 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel,) * self.dims,
-            strides=(self.stride,) * self.dims,
-            padding=[(pad, pad)] * self.dims,
-            use_bias=not self.bn,
-            kernel_init=torch_conv_kernel_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.dims == 3 and self.kernel == 3:
+            x = _Conv3dDStack(
+                self.features, self.kernel, self.stride,
+                use_bias=not self.bn, dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel,) * self.dims,
+                strides=(self.stride,) * self.dims,
+                padding=[(pad, pad)] * self.dims,
+                use_bias=not self.bn,
+                kernel_init=torch_conv_kernel_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -149,6 +250,11 @@ class PlainConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.kernel // 2
         fan_in = x.shape[-1] * self.kernel ** self.dims
+        if self.dims == 3 and self.kernel == 3 and not self.use_bias:
+            return _Conv3dDStack(
+                self.features, self.kernel, 1, use_bias=False,
+                dtype=self.dtype, name="conv",
+            )(x)
         return nn.Conv(
             self.features,
             kernel_size=(self.kernel,) * self.dims,

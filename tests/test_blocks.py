@@ -100,3 +100,24 @@ def test_batchnorm_train_and_momentum_match_torch(rng):
     eval_vars = {"params": variables["params"], "batch_stats": state["batch_stats"]}
     ours_eval = m.apply(eval_vars, jnp.asarray(x), train=False)
     assert np.isfinite(np.asarray(ours_eval)).all()
+
+
+def test_conv3d_dstack_matches_torch(rng):
+    """The D-stacked conv3d path must equal torch Conv3d at stride 1 and 2,
+    odd and even D."""
+    for d_, stride in [(6, 1), (7, 1), (6, 2), (16, 1), (17, 2)]:
+        x = rng.normal(size=(2, d_, 6, 10, 4)).astype(np.float32)
+        m = blocks.ConvBlock(5, kernel=3, stride=stride, dims=3, bn=False, relu=False)
+        variables = m.init(jax.random.PRNGKey(4), jnp.asarray(x))
+        ours = np.asarray(m.apply(variables, jnp.asarray(x)))
+
+        tconv = tnn.Conv3d(4, 5, 3, stride=stride, padding=1, bias=True)
+        with torch.no_grad():
+            kern = np.asarray(variables["params"]["conv"]["kernel"])  # (3,3,3,in,out)
+            tconv.weight.copy_(torch.from_numpy(kern.transpose(4, 3, 0, 1, 2).copy()))
+            tconv.bias.copy_(torch.from_numpy(np.asarray(variables["params"]["conv"]["bias"])))
+            oracle = tconv(torch.from_numpy(x).permute(0, 4, 1, 2, 3))
+        np.testing.assert_allclose(
+            ours, oracle.permute(0, 2, 3, 4, 1).numpy(), atol=1e-5,
+            err_msg=f"d={d_} stride={stride}",
+        )
