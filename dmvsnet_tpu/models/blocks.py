@@ -208,18 +208,21 @@ class DeconvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad, out_pad = self.kernel // 2, 1
         lo = self.kernel - 1 - pad
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(self.kernel,) * self.dims,
-            strides=(2,) * self.dims,
-            padding=[(lo, lo + out_pad)] * self.dims,
-            use_bias=not self.bn,
-            transpose_kernel=True,
-            kernel_init=torch_conv_kernel_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if True:  # native ConvTranspose: dilated-conv and subpixel
+            # reformulations both lost to it here (zero-dense FLOPs and
+            # strided-scatter layouts respectively)
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(self.kernel,) * self.dims,
+                strides=(2,) * self.dims,
+                padding=[(lo, lo + out_pad)] * self.dims,
+                use_bias=not self.bn,
+                transpose_kernel=True,
+                kernel_init=torch_conv_kernel_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

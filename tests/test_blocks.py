@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -48,12 +49,13 @@ def test_deconv_block_matches_torch_convtranspose(rng):
         )
 
 
-def test_deconv3d_doubles_all_dims(rng):
-    x = rng.normal(size=(1, 2, 4, 6, 3)).astype(np.float32)
+@pytest.mark.parametrize("d_", [2, 8])  # dilated 2d: ddense and dstack routes
+def test_deconv3d_doubles_all_dims(rng, d_):
+    x = rng.normal(size=(1, d_, 4, 6, 3)).astype(np.float32)
     m = blocks.DeconvBlock(4, kernel=3, dims=3, bn=False, relu=False)
     variables = m.init(jax.random.PRNGKey(2), jnp.asarray(x))
     out = m.apply(variables, jnp.asarray(x))
-    assert out.shape == (1, 4, 8, 12, 4)
+    assert out.shape == (1, 2 * d_, 8, 12, 4)
 
     tconv = tnn.ConvTranspose3d(3, 4, 3, stride=2, padding=1, output_padding=1, bias=True)
     with torch.no_grad():
