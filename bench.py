@@ -7,6 +7,9 @@ and prints ONE JSON line:
   {"metric": "dtu_depth_maps_per_s", "value": N, "unit": "maps/s",
    "vs_baseline": N}
 
+Flags: --no-pallas (XLA gather warp), --exact (bit-exact fp32 MXU
+matmuls in the Pallas kernel), --bf16, --iters=N.
+
 Timing methodology: K full forwards run inside ONE jit dispatch (a
 lax.fori_loop whose carry perturbs the input so no iteration can be
 CSE'd away), and the resulting scalar is fetched to host.  This is
@@ -94,7 +97,7 @@ def time_amortized(forward, args, iters: int) -> float:
 def main():
     dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 8))
-    use_pallas = "--pallas" in sys.argv
+    use_pallas = "--no-pallas" not in sys.argv
     if use_pallas and "--exact" not in sys.argv:
         import jax.lax
         from dmvsnet_tpu.ops.pallas import warp_correlate

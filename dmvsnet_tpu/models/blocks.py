@@ -117,16 +117,12 @@ class _Conv3dDStack(nn.Module):
             "kernel", torch_conv_kernel_init,
             (self.kernel,) * 3 + (x.shape[-1], self.features), jnp.float32,
         )
-        if x.shape[1] >= 16:
-            # many planes: D carries the conv2d batch axis efficiently
-            y = conv3d_dstack(
-                x.astype(self.dtype), k.astype(self.dtype), self.stride
-            )
-        else:
-            # few planes: fold D entirely into channels (band-masked dense)
-            y = conv3d_ddense(
-                x.astype(self.dtype), k.astype(self.dtype), self.stride
-            )
+        # ddense beat both the direct emitter and the D-stacked route at
+        # every shape this network uses (D in 4..64) — the band-masked
+        # dense kernel's FLOP redundancy is cheaper than bad layouts.
+        y = conv3d_ddense(
+            x.astype(self.dtype), k.astype(self.dtype), self.stride
+        )
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

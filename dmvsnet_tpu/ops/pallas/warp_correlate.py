@@ -57,7 +57,10 @@ from dmvsnet_tpu.core import geometry
 BR = 8        # output rows per tile
 BL = 128      # output lanes (columns) per tile
 C_WIN = 384   # source cols per window (>= 130 + 254 span coverage)
-MIN_ROWS = 16  # minimum source rows a window must cover (before alignment)
+MIN_ROWS = 20  # min source rows per window (incl. margin for PD-groups)
+PD = 4        # depth planes per kernel instance sharing one window DMA
+# (adjacent plane-sweep hypotheses shift the projection by only a few
+# pixels, so a group of PD planes shares a window with a small margin)
 
 # MXU precision for the band matmul.  HIGHEST = exact fp32 (bf16-pass
 # emulation) for bit-parity with the XLA path; DEFAULT = one bf16 pass,
@@ -75,19 +78,19 @@ def _row_group(c: int) -> tuple[int, int]:
     return g, q
 
 
-def _make_kernel(c: int):
+def _make_kernel(c: int, pd: int):
     g, q = _row_group(c)
     p = BR * BL
 
     def kernel(orig_ref, coord_ref, src_hbm, ref_ref, out_ref, win_ref, sem):
-        # coord/out blocks hold a whole row of tiles (j is the innermost
-        # grid axis, so the block stays VMEM-resident while j sweeps);
-        # each instance reads/writes its tile's sublane pair dynamically.
+        # coord/out blocks hold PD planes x a whole row of tiles (j is the
+        # innermost grid axis, so blocks stay VMEM-resident while j
+        # sweeps); each instance reads/writes its tile's sublane pair
+        # dynamically, and PD planes share ONE window DMA (adjacent
+        # hypotheses project only a few pixels apart).
         ix = pl.program_id(2)
         rb = orig_ref[0, 0, ix, 0]
         c0 = pl.multiple_of(orig_ref[0, 0, ix, 1], 128)  # aligned by wrapper
-        px = coord_ref[0, 0, pl.ds(2 * ix, 1), :]  # (1, P)
-        py = coord_ref[0, 0, pl.ds(2 * ix + 1, 1), :]
 
         cp = pltpu.make_async_copy(
             src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem
@@ -95,13 +98,9 @@ def _make_kernel(c: int):
         cp.start()
         cp.wait()
 
-        # Rx[cc, p] = hat(px_p - (c0 + cc)) — band matrix, window cols on
-        # sublanes, pixels on lanes.
         cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (C_WIN, p), 0)).astype(
             jnp.float32
         )
-        rx = jnp.maximum(0.0, 1.0 - jnp.abs(px - cc))
-
         r0f = (rb * g).astype(jnp.float32)
         sub = jax.lax.broadcasted_iota(jnp.int32, (g * c, p), 0)
         l_of_sub = (sub // c).astype(jnp.float32)
@@ -109,19 +108,28 @@ def _make_kernel(c: int):
         gmask0 = ((sub % c) < half).astype(jnp.float32)
         refv = ref_ref[0, 0].astype(jnp.float32)  # (G*C, P), channels tiled
 
-        corr0 = jnp.zeros((1, p), jnp.float32)
-        corr1 = jnp.zeros((1, p), jnp.float32)
-        for j in range(q):
-            res = jnp.dot(
-                win_ref[j], rx, preferred_element_type=jnp.float32,
-                precision=MATMUL_PRECISION,
-            )  # (G*C, P): sublane s = source row rb*G+j*G+s//C, channel s%C
-            wyb = jnp.maximum(0.0, 1.0 - jnp.abs(py - (r0f + j * g + l_of_sub)))
-            z = res * refv * wyb
-            corr0 = corr0 + jnp.sum(z * gmask0, axis=0, keepdims=True)
-            corr1 = corr1 + jnp.sum(z * (1.0 - gmask0), axis=0, keepdims=True)
-        out_ref[0, 0, pl.ds(2 * ix, 1), :] = corr0 / half
-        out_ref[0, 0, pl.ds(2 * ix + 1, 1), :] = corr1 / half
+        for pdi in range(pd):
+            px = coord_ref[pdi, 0, pl.ds(2 * ix, 1), :]  # (1, P)
+            py = coord_ref[pdi, 0, pl.ds(2 * ix + 1, 1), :]
+            # Rx[cc, p] = hat(px_p - (c0 + cc)) — band matrix, window cols
+            # on sublanes, pixels on lanes.
+            rx = jnp.maximum(0.0, 1.0 - jnp.abs(px - cc))
+
+            corr0 = jnp.zeros((1, p), jnp.float32)
+            corr1 = jnp.zeros((1, p), jnp.float32)
+            for j in range(q):
+                res = jnp.dot(
+                    win_ref[j], rx, preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION,
+                )  # (G*C, P): sublane s = row rb*G+j*G+s//C, channel s%C
+                wyb = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(py - (r0f + j * g + l_of_sub))
+                )
+                z = res * refv * wyb
+                corr0 = corr0 + jnp.sum(z * gmask0, axis=0, keepdims=True)
+                corr1 = corr1 + jnp.sum(z * (1.0 - gmask0), axis=0, keepdims=True)
+            out_ref[pdi, 0, pl.ds(2 * ix, 1), :] = corr0 / half
+            out_ref[pdi, 0, pl.ds(2 * ix + 1, 1), :] = corr1 / half
 
     return kernel
 
@@ -138,6 +146,136 @@ def _tile_lanes(a: jnp.ndarray, nh: int, nw: int):
     a = a.transpose(*range(len(lead)), len(lead), len(lead) + 2,
                     len(lead) + 1, len(lead) + 3)
     return a.reshape(*lead, nh, nw, BR * BL)
+
+
+def _corr_view_tiled(
+    src_feat: jnp.ndarray,
+    ref_t: jnp.ndarray,
+    rel_proj: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    interpret: bool,
+) -> jnp.ndarray:
+    """One view's correlation in the TILED output layout (D, nh, 2nw, P).
+
+    ref_t is the pre-tiled reference (see plane_sweep_corr_view); callers
+    aggregating several views share it and untile the SUM once.
+    """
+    h, w, c = src_feat.shape
+    g, q = _row_group(c)
+    dpl = depth_values.shape[0]
+    wp = _round_up(w, max(BL, C_WIN))
+    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
+    nh, nw = hp // BR, wp // BL
+    p = BR * BL
+
+    # group-major channel permutation: [0,2,4,...,1,3,5,...]
+    perm = list(range(0, c, 2)) + list(range(1, c, 2))
+    srcp = jnp.pad(src_feat[..., perm], ((0, hp - h), (0, wp - w), (0, 0)))
+
+    # coordinates from the SAME geometry as the XLA path (exact parity).
+    # Pad HIGH: the window origin is a per-tile MINIMUM and a low pad
+    # value would drag windows away from partially-padded tiles' pixels.
+    px, py = geometry.plane_sweep_coords(
+        rel_proj[None], depth_values[None], h, w
+    )
+    px = jnp.clip(px[0], -2.0, float(wp) + 1.0)
+    py = jnp.clip(py[0], -2.0, float(hp) + 1.0)
+    px = jnp.pad(
+        px, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=float(wp) + 1.0
+    )
+    py = jnp.pad(
+        py, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=float(hp) + 1.0
+    )
+    px_t = _tile_lanes(px, nh, nw)  # (D, nh, nw, P)
+    py_t = _tile_lanes(py, nh, nw)
+
+    # group PD consecutive planes per kernel instance (shared window DMA)
+    pd = PD if dpl % PD == 0 else (2 if dpl % 2 == 0 else 1)
+
+    # per-GROUP window origin: the union over the group's planes
+    # (c0 aligned down to 128 for legal DMA lane slices)
+    c0 = jnp.clip(
+        (jnp.floor(
+            jnp.min(px_t.reshape(dpl // pd, pd, nh, nw, p), axis=(1, 4))
+        ).astype(jnp.int32) - 1) // BL * BL,
+        0, wp - C_WIN,
+    )
+    rb = jnp.clip(
+        (jnp.floor(
+            jnp.min(py_t.reshape(dpl // pd, pd, nh, nw, p), axis=(1, 4))
+        ).astype(jnp.int32) - 1) // g,
+        0, hp // g - q,
+    )
+    origin = jnp.stack([rb, c0], axis=-1)  # (D/PD, nh, nw, 2) int32
+
+    # interleave px/py as rows [2j, 2j+1] so the coord block keeps its
+    # last two dims equal to (2, P) — no sub-128 trailing dims anywhere
+    coords = jnp.stack([px_t, py_t], axis=3)  # (D, nh, nw, 2, P)
+    coords = coords.reshape(dpl, nh, 2 * nw, p)
+
+    # row-packed + transposed source: (H/G, G*C, Wp)
+    src_packed = srcp.reshape(hp // g, g, wp, c).transpose(0, 2, 1, 3).reshape(
+        hp // g, wp, g * c
+    )
+    src_t = src_packed.transpose(0, 2, 1)
+
+    grid = (dpl // pd, nh, nw)
+    kernel = _make_kernel(c, pd)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, nw, 2), lambda d, i, j: (d, i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (pd, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # packed src stays in HBM
+            pl.BlockSpec(
+                (1, 1, g * c, p), lambda d, i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (pd, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((dpl, nh, 2 * nw, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(origin, coords, src_t, ref_t)
+    return out
+
+
+def _tile_ref(ref_feat: jnp.ndarray) -> jnp.ndarray:
+    """Pre-tile the reference features for _corr_view_tiled:
+    (H, W, C) -> (nh, nw, G*C, P), channels group-major and tiled G times."""
+    h, w, c = ref_feat.shape
+    g, q = _row_group(c)
+    wp = _round_up(w, max(BL, C_WIN))
+    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
+    nh, nw = hp // BR, wp // BL
+    perm = list(range(0, c, 2)) + list(range(1, c, 2))
+    refp = jnp.pad(ref_feat[..., perm], ((0, hp - h), (0, wp - w), (0, 0)))
+    return jnp.tile(
+        jnp.moveaxis(_tile_lanes(jnp.moveaxis(refp, -1, 0), nh, nw), 0, 2),
+        (1, 1, g, 1),
+    )
+
+
+def _untile_out(out: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(D, nh, 2nw, P) tiled correlation -> (D, H, W, 2)."""
+    dpl, nh, nw2, p = out.shape
+    nw = nw2 // 2
+    out = out.reshape(dpl, nh, nw, 2, BR, BL)
+    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(dpl, nh * BR, nw * BL, 2)
+    return out[:, :h, :w, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -160,102 +298,10 @@ def plane_sweep_corr_view(
       (D, H, W, 2) float32 group correlation, identical (up to fp
       rounding) to group_correlation(warp(src), ref).
     """
-    h, w, c = src_feat.shape
-    g, q = _row_group(c)
-    dpl = depth_values.shape[0]
-    wp = _round_up(w, max(BL, C_WIN))
-    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
-    nh, nw = hp // BR, wp // BL
-    p = BR * BL
-
-    # group-major channel permutation: [0,2,4,...,1,3,5,...]
-    perm = list(range(0, c, 2)) + list(range(1, c, 2))
-    srcp = jnp.pad(src_feat[..., perm], ((0, hp - h), (0, wp - w), (0, 0)))
-    refp = jnp.pad(ref_feat[..., perm], ((0, hp - h), (0, wp - w), (0, 0)))
-
-    # coordinates from the SAME geometry as the XLA path (exact parity).
-    # Pad HIGH: the window origin is a per-tile MINIMUM and a low pad
-    # value would drag windows away from partially-padded tiles' pixels.
-    px, py = geometry.plane_sweep_coords(
-        rel_proj[None], depth_values[None], h, w
-    )
-    px = jnp.clip(px[0], -2.0, float(wp) + 1.0)
-    py = jnp.clip(py[0], -2.0, float(hp) + 1.0)
-    px = jnp.pad(
-        px, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=float(wp) + 1.0
-    )
-    py = jnp.pad(
-        py, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=float(hp) + 1.0
-    )
-    px_t = _tile_lanes(px, nh, nw)  # (D, nh, nw, P)
-    py_t = _tile_lanes(py, nh, nw)
-
-    # per-tile window origin (c0 aligned down to 128 for legal DMA slices)
-    c0 = jnp.clip(
-        (jnp.floor(jnp.min(px_t, axis=3)).astype(jnp.int32) - 1) // BL * BL,
-        0, wp - C_WIN,
-    )
-    rb = jnp.clip(
-        (jnp.floor(jnp.min(py_t, axis=3)).astype(jnp.int32) - 1) // g,
-        0, hp // g - q,
-    )
-    origin = jnp.stack([rb, c0], axis=-1)  # (D, nh, nw, 2) int32
-
-    # interleave px/py as rows [2j, 2j+1] so the coord block keeps its
-    # last two dims equal to (2, P) — no sub-128 trailing dims anywhere
-    coords = jnp.stack([px_t, py_t], axis=3)  # (D, nh, nw, 2, P)
-    coords = coords.reshape(dpl, nh, 2 * nw, p)
-
-    # row-packed + transposed source: (H/G, G*C, Wp)
-    src_packed = srcp.reshape(hp // g, g, wp, c).transpose(0, 2, 1, 3).reshape(
-        hp // g, wp, g * c
-    )
-    src_t = src_packed.transpose(0, 2, 1)
-
-    # reference tile with channels tiled G times, pixels on lanes
-    ref_t = jnp.tile(
-        jnp.moveaxis(
-            _tile_lanes(jnp.moveaxis(refp, -1, 0), nh, nw), 0, 2
-        ),  # (nh, nw, C, P)
-        (1, 1, g, 1),
-    )
-
-    grid = (dpl, nh, nw)
-    kernel = _make_kernel(c)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, nw, 2), lambda d, i, j: (d, i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # packed src stays in HBM
-            pl.BlockSpec(
-                (1, 1, g * c, p), lambda d, i, j: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((dpl, nh, 2 * nw, p), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(origin, coords, src_t, ref_t)
-
-    # out rows [2j, 2j+1] = groups of tile (i, j): -> (D, H, W, 2)
-    out = out.reshape(dpl, nh, nw, 2, BR, BL)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(dpl, hp, wp, 2)
-    return out[:, :h, :w, :]
+    h, w, _ = src_feat.shape
+    ref_t = _tile_ref(ref_feat)
+    out = _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret)
+    return _untile_out(out, h, w)
 
 
 def aggregate_cost_volume_pallas(
@@ -278,14 +324,17 @@ def aggregate_cost_volume_pallas(
     fused = geometry.fuse_projection(proj2)
 
     def one_batch(feats_b, fused_b, dv_b):
+        # tile the reference ONCE, accumulate views in the tiled layout,
+        # untile the sum once — 4 views share one set of transposes
+        ref_t = _tile_ref(feats_b[0])
         total = None
         for v in range(1, len(features)):
             rel = geometry.relative_projection(fused_b[v], fused_b[0])
-            corr = plane_sweep_corr_view(
-                feats_b[v], feats_b[0], rel, dv_b, interpret=interpret
+            corr = _corr_view_tiled(
+                feats_b[v], ref_t, rel, dv_b, interpret=interpret
             )
             total = corr if total is None else total + corr
-        return total
+        return _untile_out(total, h, w)
 
     outs = []
     for bi in range(b):
