@@ -24,9 +24,12 @@ _FEATURE_INV = {
 
 
 def _inverse_kernel(k: np.ndarray, is_deconv: bool) -> np.ndarray:
+    # flax conv (kh..,I,O) -> torch (O,I,kh..); flax deconv-with-
+    # transpose_kernel stores (kh..,O,I) -> torch ConvT (I,O,kh..):
+    # both directions are the same axis permutation.
     if k.ndim == 4:
-        return k.transpose(2, 3, 0, 1) if is_deconv else k.transpose(3, 2, 0, 1)
-    return k.transpose(3, 4, 0, 1, 2) if is_deconv else k.transpose(4, 3, 0, 1, 2)
+        return k.transpose(3, 2, 0, 1)
+    return k.transpose(4, 3, 0, 1, 2)
 
 
 def _flatten(tree, prefix=()):

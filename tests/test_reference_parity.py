@@ -1,0 +1,99 @@
+"""End-to-end numerical parity against the actual PyTorch reference.
+
+Imports the reference implementation (read-only mount), random-initializes
+it, converts its weights with our converter, runs BOTH models on the same
+synthetic batch, and compares every depth output.  This is the strongest
+guard we have: any semantic drift in warp, samplers, cost nets, or the
+dual-depth head shows up here as a depth-map difference.
+
+Skipped when the reference tree is not present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "networks")),
+    reason="reference tree not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def reference_mvsnet():
+    sys.path.insert(0, REFERENCE)
+    try:
+        from networks.mvsnet import MVSNet as TorchMVSNet
+    finally:
+        sys.path.remove(REFERENCE)
+    return TorchMVSNet
+
+
+def test_full_model_matches_reference(reference_mvsnet, rng):
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo/tools")
+    from convert_torch_ckpt import convert_state_dict
+
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.utils import synthetic
+
+    torch.manual_seed(0)
+    ndepths, ratios = (8, 8, 8), (4, 2, 1)
+    tmodel = reference_mvsnet(
+        ndepths=list(ndepths), depth_interval_ratio=list(ratios),
+        fea_mode="fpn", agg_mode="variance", depth_mode="regression",
+        inverse_depth=True,
+    )
+    tmodel.eval()
+
+    params, stats = convert_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    )
+
+    batch = synthetic.make_batch(batch=1, n_views=3, height=64, width=96,
+                                 n_depths=32)
+    imgs = batch["imgs"]  # (1, V, H, W, 3)
+    proj = batch["proj_matrices"]
+    dv = batch["depth_values"]
+
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(imgs.transpose(0, 1, 4, 2, 3).copy()),
+            {k: torch.from_numpy(v.copy()) for k, v in proj.items()},
+            torch.from_numpy(dv.copy()),
+        )
+
+    jmodel = MVSNet(ndepths=ndepths, depth_interval_ratio=ratios,
+                    inverse_depth=True)
+    j_out = jmodel.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(imgs), {k: jnp.asarray(v) for k, v in proj.items()},
+        jnp.asarray(dv),
+    )
+
+    # final depth and per-stage outputs agree (fp32, depths ~600mm)
+    np.testing.assert_allclose(
+        np.asarray(j_out["depth"]), t_out["depth"].numpy(), atol=0.05,
+        err_msg="final saddle depth",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["photometric_confidence"]),
+        t_out["photometric_confidence"].numpy(), atol=1e-3,
+    )
+    for s in ("stage1", "stage2", "stage3"):
+        np.testing.assert_allclose(
+            np.asarray(j_out[s]["depth_sub_plus"]).transpose(0, 3, 1, 2),
+            t_out[s]["depth_sub_plus"].numpy(), atol=0.05,
+            err_msg=f"{s} dual depths",
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_out[s]["depth"]), t_out[s]["depth"].numpy(),
+            atol=0.05, err_msg=f"{s} refine depth",
+        )

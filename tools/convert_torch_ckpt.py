@@ -47,10 +47,10 @@ def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
 
 def _convert_kernel(w: np.ndarray, is_deconv: bool) -> np.ndarray:
     """torch conv weight -> flax kernel (HWIO / DHWIO; deconv swaps I/O)."""
-    if w.ndim == 4:  # (O,I,kh,kw) or (I,O,kh,kw)
-        return w.transpose(2, 3, 0, 1) if is_deconv else w.transpose(2, 3, 1, 0)
+    if w.ndim == 4:  # conv (O,I,kh,kw); deconv (I,O,kh,kw) -> flax (kh,kw,O,I)
+        return w.transpose(2, 3, 1, 0)
     if w.ndim == 5:
-        return w.transpose(2, 3, 4, 0, 1) if is_deconv else w.transpose(2, 3, 4, 1, 0)
+        return w.transpose(2, 3, 4, 1, 0)
     raise ValueError(f"unexpected conv weight rank {w.ndim}")
 
 
