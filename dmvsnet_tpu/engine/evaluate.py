@@ -66,6 +66,22 @@ def run_test(cfg: Config) -> None:
                     state, _ = ckpt_lib.restore_checkpoint(
                         cfg.resume, state, weights_only=True
                     )
+                # params/FLOPs line (the reference's one-time thop print,
+                # reference model.py:338-342)
+                try:
+                    from dmvsnet_tpu.engine.profiler import model_summary
+
+                    s = model_summary(
+                        model,
+                        {"params": state.params, "batch_stats": state.batch_stats},
+                        imgs, proj, dv,
+                    )
+                    print(
+                        f"params: {s['params']:,}  flops: {s['flops']:.3e}  "
+                        f"bytes: {s['bytes_accessed']:.3e}", flush=True,
+                    )
+                except Exception as e:  # cost analysis is best-effort
+                    print(f"model summary unavailable: {e}")
 
             t0 = time.time()
             depth, conf = infer(state, imgs, proj, dv)
