@@ -79,18 +79,20 @@ def time_amortized(forward, args, iters: int) -> float:
     params, batch_stats, imgs, proj, dv = args
 
     @jax.jit
-    def many(params, batch_stats, imgs, proj, dv):
+    def many(n, params, batch_stats, imgs, proj, dv):
         def body(i, acc):
             depth, conf = forward(
                 params, batch_stats, imgs + acc * 1e-20, proj, dv
             )
             return acc + jnp.sum(depth) + jnp.sum(conf)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        # n is traced (lowers to a while loop), so the compiled program —
+        # and the persistent cache entry — is independent of iters
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    float(np.asarray(many(*args)))  # compile + warm
+    float(np.asarray(many(jnp.int32(1), *args)))  # compile + warm
     t0 = time.perf_counter()
-    float(np.asarray(many(*args)))
+    float(np.asarray(many(jnp.int32(iters), *args)))
     return (time.perf_counter() - t0) / iters
 
 
