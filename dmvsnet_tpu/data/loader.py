@@ -75,6 +75,13 @@ class Loader:
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        if self.num_hosts > 1:
+            # pad by wrapping so every host yields the SAME number of
+            # samples (torch DistributedSampler semantics: total_size =
+            # ceil(n/world)*world) — unequal counts would deadlock the
+            # collective global-batch assembly in parallel.mesh.shard_batch
+            total = -(-n // self.num_hosts) * self.num_hosts
+            order = np.concatenate([order, order[: total - n]])
         # contiguous round-robin shard per host (DistributedSampler-like)
         return order[self.host_id :: self.num_hosts]
 

@@ -23,19 +23,25 @@ def _path(log_dir: str, step: int | str) -> str:
 
 
 def save_checkpoint(log_dir: str, epoch: int, state) -> str:
-    """Rank-0-guarded full-state save, one directory per epoch."""
+    """Full-state save, one directory per epoch.
+
+    Called by EVERY process: orbax saves are collective over sharded /
+    replicated global arrays (each process writes its addressable
+    shards), unlike the reference's rank-0 torch.save of a replicated
+    module (reference model.py:93-99).  Single-process this is a plain
+    local save.
+    """
     path = _path(log_dir, epoch)
-    if jax.process_index() == 0:
-        ckptr = ocp.StandardCheckpointer()
-        payload = {
-            "epoch": np.asarray(epoch),
-            "step": np.asarray(state.step),
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        }
-        ckptr.save(path, payload, force=True)
-        ckptr.wait_until_finished()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "epoch": np.asarray(epoch),
+        "step": np.asarray(state.step),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
     return path
 
 

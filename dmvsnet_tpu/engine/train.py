@@ -24,6 +24,7 @@ from dmvsnet_tpu.engine.state import create_train_state, make_lr_schedule
 from dmvsnet_tpu.engine.steps import make_eval_step, make_train_step
 from dmvsnet_tpu.models import MVSNet
 from dmvsnet_tpu.parallel import make_mesh, shard_batch
+from dmvsnet_tpu.parallel.mesh import replicate_tree
 
 
 class AverageMeter:
@@ -89,10 +90,20 @@ class Trainer:
         self.val_ds = get_dataset(
             cfg.dataset_name, cfg.datapath, val_scans, 5, "val", **ds_kwargs
         )
+        # cfg.batch_size is the GLOBAL batch; each process loads only its
+        # 1/process_count shard and parallel.mesh.shard_batch assembles
+        # the global array (reference: per-GPU DDP batches, train.sh:9).
+        n_proc = jax.process_count()
+        if cfg.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide over "
+                f"{n_proc} processes"
+            )
+        per_host_batch = cfg.batch_size // n_proc
         self.train_loader = make_loader(
-            self.train_ds, cfg.batch_size, "train", seed=cfg.seed
+            self.train_ds, per_host_batch, "train", seed=cfg.seed
         )
-        self.val_loader = make_loader(self.val_ds, cfg.batch_size, "val", seed=cfg.seed)
+        self.val_loader = make_loader(self.val_ds, per_host_batch, "val", seed=cfg.seed)
 
         steps_per_epoch = max(1, len(self.train_loader))
         self.lr_schedule = make_lr_schedule(
@@ -112,6 +123,10 @@ class Trainer:
             )
             if not weights_only:
                 self.start_epoch = resumed_epoch
+        # multi-process: lift the (identically-seeded / just-restored)
+        # local state to global replicated arrays so jit over the
+        # multi-host mesh accepts it
+        self.state = replicate_tree(self.state, self.mesh)
 
         self.train_step = make_train_step(
             tuple(cfg.dlossw), cfg.depth_mode, self.lr_schedule

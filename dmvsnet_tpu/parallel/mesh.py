@@ -51,9 +51,18 @@ def batch_spec(ndim: int) -> P:
 
 
 def constrain(x, mesh: Mesh | None, spec: P):
-    """with_sharding_constraint that degrades to a no-op without a mesh."""
+    """with_sharding_constraint that degrades to a no-op without a mesh.
+
+    Also a no-op when a constrained axis doesn't divide over its mesh
+    axis — this happens when the model is traced with a HOST-LOCAL batch
+    (param init in a multi-process run traces with batch/process_count
+    samples) and the constraint will hold for the real global arrays.
+    """
     if mesh is None:
         return x
+    for axis, name in enumerate(spec):
+        if name is not None and x.shape[axis] % mesh.shape[name]:
+            return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
@@ -65,10 +74,43 @@ def spatial_spec(ndim: int, h_axis: int) -> P:
     return P(*parts)
 
 
+def replicate_tree(tree, mesh: Mesh):
+    """Make a host-local pytree (params / train state) a GLOBAL,
+    fully-replicated array tree over the mesh.
+
+    Needed in multi-process runs: jit over a multi-host mesh requires
+    every array input to be a global jax.Array; process-local arrays
+    (e.g. freshly initialized params, identical on every process by
+    seeding) are lifted with host_local_array_to_global_array.  A no-op
+    for a single process (jit replicates automatically).
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        jax.tree_util.tree_map(np.asarray, tree), mesh, P()
+    )
+
+
 def shard_batch(tree, mesh: Mesh):
-    """Device-put a host batch with the batch axis sharded over dp."""
+    """Assemble a host-local batch into GLOBAL arrays sharded over dp.
+
+    Single process: a plain device_put with the batch axis split over the
+    dp mesh axis.  Multi-process (the reference's DDP regime,
+    reference tools.py:299-322): every process holds only its local shard
+    of the global batch (the loader shards samples by process_index), so
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the local batch axis is
+    1/process_count of the global one.  Requires the dp axis to span
+    processes uniformly (the standard contiguous device-to-process map).
+    """
+    n_proc = jax.process_count()
 
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x))))
+        sharding = NamedSharding(mesh, batch_spec(np.ndim(x)))
+        if n_proc == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree_util.tree_map(put, tree)

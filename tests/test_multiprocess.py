@@ -1,0 +1,74 @@
+"""True multi-process (2 ranks x 4 virtual CPU devices) distributed test.
+
+The single-process 8-device dryrun cannot see multi-host bugs: host-local
+arrays device_put with a global sharding, per-host meter divergence,
+non-collective checkpoint saves.  This test spawns TWO OS processes
+joined via jax.distributed on localhost (the TPU-native analogue of the
+reference's torch.distributed.launch --nproc_per_node=2,
+reference scripts/train.sh:9) and checks:
+
+* the loader's per-host shards assemble into one GLOBAL batch;
+* one real sharded train step returns IDENTICAL global scalars on every
+  process (the reference needs an explicit dist.reduce for this,
+  tools.py:128-146 — here the scalars are global by construction);
+* orbax save/restore works collectively and round-trips the params.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = []
+    for rank in range(2):
+        with open(tmp_path / f"rank{rank}.json") as f:
+            results.append(json.load(f))
+
+    # epoch-3 permutation of 16 items: the two hosts' first batches are
+    # disjoint halves of the global batch of 8 -> one global sum
+    assert results[0]["batch_sum"] == results[1]["batch_sum"]
+
+    # global train-step scalars must agree EXACTLY across processes
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], abs=0)
+    assert np.isfinite(results[0]["loss"])
+    assert results[0]["thres2mm"] == results[1]["thres2mm"]
+
+    for r in results:
+        assert r["ckpt_checksum"] == pytest.approx(r["ckpt_checksum_ref"], rel=1e-6)
+        assert r["resume_epoch"] == 1

@@ -1,0 +1,194 @@
+"""Per-component timing breakdown of the DTU-eval forward pass.
+
+Times each piece of the cascade (FeatureNet, per-stage warp+correlate,
+cost regularization, heads, samplers) as its OWN amortized in-jit loop
+at the real DTU shapes (864x1152, 5 views, ndepths 48/32/8), so the
+whole-model time (bench.py) can be attributed stage by stage.
+
+Methodology matches bench.py: K calls inside one jit dispatch (fori_loop
+whose carry perturbs an input, so no iteration is CSE'd), scalar fetched
+once — required because dispatches ride a ~25 ms tunnel and
+block_until_ready lies on this harness.
+
+Usage:  python tools/stagetime.py [--exact] [--iters=N] [--only=warp]
+Writes STAGETIME.json (list of {name, ms, flops, tflops_s}) and prints a
+table.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from dmvsnet_tpu.core import sampling  # noqa: E402
+from dmvsnet_tpu.models import depth_net  # noqa: E402
+from dmvsnet_tpu.models.cost_reg import CostRegNet, CostRegNetRefine  # noqa: E402
+from dmvsnet_tpu.models.feature_net import FeatureNet  # noqa: E402
+from dmvsnet_tpu.ops import warp as warp_ops  # noqa: E402
+from dmvsnet_tpu.utils import synthetic  # noqa: E402
+
+H, W, V = 864, 1152, 5
+NDEPTHS = (48, 32, 8)
+RATIOS = (4.0, 2.0, 1.0)
+CHANNELS = (32, 16, 8)
+
+
+def time_amortized(fn, args, iters: int) -> float:
+    """Seconds per call of fn(*args), amortized over one dispatch."""
+
+    @jax.jit
+    def many(n, *args):
+        def body(i, acc):
+            out = fn(args[0] + acc * 1e-20, *args[1:])
+            leaves = [jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(out)]
+            return acc + sum(leaves)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    t0 = time.perf_counter()
+    float(np.asarray(many(jnp.int32(1), *args)))  # compile + warm
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(np.asarray(many(jnp.int32(iters), *args)))
+    return (time.perf_counter() - t0) / iters, compile_s
+
+
+def flops_of(fn, args) -> float:
+    try:
+        a = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(a, list):
+            a = a[0]
+        return float(a.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def main():
+    iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 12))
+    only = next((a.split("=")[1] for a in sys.argv if a.startswith("--only=")), "")
+    if "--exact" not in sys.argv:
+        from dmvsnet_tpu.ops.pallas import warp_correlate
+
+        warp_correlate.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+    from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_pallas
+
+    key = jax.random.PRNGKey(0)
+    batch = synthetic.make_batch(batch=1, n_views=V, height=H, width=W, n_depths=192)
+    proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
+    dv = jnp.asarray(batch["depth_values"])
+
+    entries = []
+
+    def add(name, fn, args, it=iters):
+        if only and only not in name:
+            return
+        fl = flops_of(fn, args)
+        dt, compile_s = time_amortized(fn, args, it)
+        tf = fl / dt / 1e12 if fl == fl else float("nan")
+        entries.append({"name": name, "ms": round(dt * 1e3, 3),
+                        "flops": fl, "tflops_s": round(tf, 2)})
+        print(f"{name:28s} {dt*1e3:9.3f} ms   {fl/1e9 if fl==fl else 0:9.2f} GF "
+              f"{tf:7.2f} TF/s   (compile {compile_s:.1f}s)", flush=True)
+
+    # --- FeatureNet ---
+    imgs = jax.random.normal(key, (V, H, W, 3), jnp.float32)
+    fnet = FeatureNet(8)
+    fvars = fnet.init(key, imgs[:1])
+
+    def feat_fn(imgs):
+        return fnet.apply(fvars, imgs)
+
+    add("feature_net(5 views)", feat_fn, (imgs,))
+
+    # --- per-stage pieces ---
+    depth_interval = (dv[0, -1] - dv[0, 0]) / dv.shape[1]
+    for s in range(3):
+        stage = f"stage{s+1}"
+        scale = 2 ** (2 - s)
+        sh, sw, c, d = H // scale, W // scale, CHANNELS[s], NDEPTHS[s]
+        feats = [jax.random.normal(jax.random.PRNGKey(i), (1, sh, sw, c), jnp.float32)
+                 for i in range(V)]
+        p2 = proj[stage]
+
+        if s == 0:
+            samples, interval = sampling.stage1_samples(dv, d, sh, sw, inverse=True)
+        else:
+            mid = jnp.full((1, sh // 2, sw // 2), float(dv[0, dv.shape[1] // 2]))
+            samples, interval = sampling.cascade_samples(
+                mid, d, jnp.float32(RATIOS[s]) * depth_interval, inverse=True)
+
+            def samp_fn(mid, d=d, s=s, sh=sh, sw=sw):
+                out, _ = sampling.cascade_samples(
+                    mid, d, jnp.float32(RATIOS[s]) * depth_interval, inverse=True)
+                return sampling.upsample_depth_samples(out, sh, sw)
+
+            add(f"sampling_{stage}", samp_fn, (mid,))
+            samples = sampling.upsample_depth_samples(samples, sh, sw)
+        samples = jax.block_until_ready(samples)
+
+        def warp_fn(f0, *rest, p2=p2, samples=samples):
+            return aggregate_cost_volume_pallas([f0, *rest], p2, samples)
+
+        add(f"warp_{stage} D={d}", warp_fn, tuple(feats))
+
+        def warp_xla_fn(f0, *rest, p2=p2, samples=samples):
+            return warp_ops.aggregate_cost_volume([f0, *rest], p2, samples)
+
+        add(f"warp_xla_{stage} D={d}", warp_xla_fn, tuple(feats), it=max(2, iters // 4))
+
+        dv4 = jnp.broadcast_to(samples[:, :4], (1, 4, sh, sw))
+
+        def warp_ref_fn(f0, *rest, p2=p2, dv4=dv4):
+            return aggregate_cost_volume_pallas([f0, *rest], p2, dv4)
+
+        add(f"warp_{stage}_refine D=4", warp_ref_fn, tuple(feats))
+
+        cost = jax.random.normal(key, (1, d, sh, sw, 2), jnp.float32)
+        reg = CostRegNet(8)
+        rv = reg.init(key, cost)
+
+        def reg_fn(cost, rv=rv, reg=reg):
+            return reg.apply(rv, cost)
+
+        add(f"costreg_{stage} D={d}", reg_fn, (cost,))
+
+        cost4 = jax.random.normal(key, (1, 4, sh, sw, 2), jnp.float32)
+        regr = CostRegNetRefine(8)
+        rvr = regr.init(key, cost4)
+
+        def regr_fn(cost4, rvr=rvr, regr=regr):
+            return regr.apply(rvr, cost4)
+
+        add(f"costreg_refine_{stage}", regr_fn, (cost4,))
+
+        creg = jax.random.normal(key, (1, d, sh, sw, 4), jnp.float32)
+
+        def head_fn(creg, samples=samples, interval=interval):
+            return depth_net.forward(creg, samples, interval)
+
+        add(f"head_{stage} D={d}", head_fn, (creg,))
+
+        creg4 = jax.random.normal(key, (1, 4, sh, sw, 4), jnp.float32)
+
+        def headr_fn(creg4, dv4=dv4, interval=interval):
+            return depth_net.refine(creg4, dv4, interval)
+
+        add(f"head_refine_{stage}", headr_fn, (creg4,))
+
+    total = sum(e["ms"] for e in entries)
+    print(f"{'SUM of parts':28s} {total:9.3f} ms")
+    with open("/root/repo/STAGETIME.json", "w") as f:
+        json.dump(entries, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
