@@ -67,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     # testing
     p.add_argument("--outdir", default=None)
+    p.add_argument("--testpath_single_scene", default=None)
     p.add_argument("--num_view", type=int, default=None)
     p.add_argument("--max_h", type=int, default=None)
     p.add_argument("--max_w", type=int, default=None)

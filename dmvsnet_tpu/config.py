@@ -51,6 +51,10 @@ class Config:
 
     # testing (main.py:47-70)
     outdir: str = "./outputs"
+    # run ONE scene: its directory path; datapath becomes the parent and
+    # the scan list collapses to [basename] (reference main.py:48,
+    # model.py:305-316)
+    testpath_single_scene: str = ""
     num_view: int = 5
     max_h: int = 864
     max_w: int = 1152

@@ -41,7 +41,18 @@ class GeneralEvalDataset:
         self, datapath: str, scans: list[str], nviews: int = 5,
         ndepths: int = 192, interval_scale=1.06, max_h: int = 864,
         max_w: int = 1152, fix_res: bool = False, inverse_depth: bool = False,
+        fixed_hw: tuple[int, int] | None = None,
     ):
+        """interval_scale may be a float or a per-scan dict (float fallback
+        via .get is NOT applied — a dict must cover every scan, like the
+        reference's interval_scale_dict, general_eval.py:30-37).
+
+        fixed_hw: resolution latched by a PREVIOUS dataset's fix_res.  The
+        reference keeps the latch in module globals (general_eval.py:7-8,
+        150-154) so it survives the fresh per-scene dataset of
+        model.py:330; here the runner threads ``ds.latched_hw`` into the
+        next scene's constructor explicitly.
+        """
         self.datapath = datapath
         self.nviews = nviews
         self.ndepths = ndepths
@@ -53,7 +64,12 @@ class GeneralEvalDataset:
         else:
             self.interval_scale = interval_scale
         self.metas = self._build_metas(scans)
-        self._fixed_hw: tuple[int, int] | None = None
+        self._fixed_hw: tuple[int, int] | None = fixed_hw
+
+    @property
+    def latched_hw(self) -> tuple[int, int] | None:
+        """The (h, w) latched by fix_res, for threading across scenes."""
+        return self._fixed_hw
 
     def _build_metas(self, scans):
         metas = []

@@ -32,7 +32,13 @@ from dmvsnet_tpu.fusion import TANK_SCENE_CONFIG, dypcd_filter, pcd_filter
 
 
 def run_test(cfg: Config) -> None:
-    scans = resolve_scan_list(cfg.testlist, cfg.datapath)
+    if cfg.testpath_single_scene:
+        # single-scene mode: datapath = parent dir, scan = basename
+        # (reference model.py:305-316)
+        cfg = cfg.replace(datapath=os.path.dirname(cfg.testpath_single_scene))
+        scans = [os.path.basename(cfg.testpath_single_scene)]
+    else:
+        scans = resolve_scan_list(cfg.testlist, cfg.datapath)
     model = build_model(cfg)
     infer = make_infer_step()
     state = None

@@ -56,19 +56,65 @@ def half_pixel_pool(x: jnp.ndarray) -> jnp.ndarray:
     return 0.25 * (x[:, :-1, :-1] + x[:, :-1, 1:] + x[:, 1:, :-1] + x[:, 1:, 1:])
 
 
+def subpixel_pool(x: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of a (B, H, W) map at (i+oy, j+ox), offsets in [0,1).
+
+    The general form of the reference's grid_sample at per-cell offsets
+    (loss.py:110-128): taps stay inside the image so zero padding never
+    triggers; each output cell mixes its 2x2 neighborhood.
+    """
+    w00 = (1.0 - oy) * (1.0 - ox)
+    w01 = (1.0 - oy) * ox
+    w10 = oy * (1.0 - ox)
+    w11 = oy * ox
+    return (w00 * x[:, :-1, :-1] + w01 * x[:, :-1, 1:]
+            + w10 * x[:, 1:, :-1] + w11 * x[:, 1:, 1:])
+
+
 def monte_carlo_loss(
     depth_est: jnp.ndarray, depth_gt: jnp.ndarray, mask: jnp.ndarray,
-    weight: jnp.ndarray,
+    weight: jnp.ndarray, mode: str = "center", reflect: bool = False,
+    rng: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """Sub-pixel composite loss (reference loss.py:106-155, mode="center").
+    """Sub-pixel composite loss (reference loss.py:106-155).
 
-    Samples GT/est/weight/mask at half-pixel centers; keeps only cells
+    mode="center" samples GT/est/weight/mask at half-pixel centers (the
+    only mode shipped configs use); mode="random" draws per-cell offsets
+    U[0,1) from ``rng`` (reference loss.py:113-114).  Keeps only cells
     whose sampled mask reaches 1 (all four neighbors valid).
+
+    reflect=True reproduces the unused reference branch (loss.py:139-151):
+    cells whose 2x2 sign pattern of (est - gt) is uniform get weight 2
+    (no gradient through the weights), and the loss is the plain masked
+    smooth-L1 of the reweighted samples.
     """
-    s_gt = half_pixel_pool(depth_gt)
-    s_est = half_pixel_pool(depth_est)
-    s_w = half_pixel_pool(weight)
-    s_mask = half_pixel_pool(mask.astype(jnp.float32)) >= 1.0
+    if mode == "center":
+        pool = half_pixel_pool
+    elif mode == "random":
+        if rng is None:
+            raise ValueError('monte_carlo_loss(mode="random") needs an rng key')
+        kx, ky = jax.random.split(rng)
+        shape = (depth_gt.shape[0], depth_gt.shape[1] - 1, depth_gt.shape[2] - 1)
+        ox = jax.random.uniform(kx, shape, jnp.float32)
+        oy = jax.random.uniform(ky, shape, jnp.float32)
+        pool = lambda x: subpixel_pool(x, ox, oy)  # noqa: E731
+    else:
+        raise ValueError(f"unknown Monte-Carlo sampling mode {mode!r}")
+    s_gt = pool(depth_gt)
+    s_est = pool(depth_est)
+    # center-mode pooling of a 0/1 mask is exact (0.25 * four ones == 1.0);
+    # random offsets round, so test against 1 with an fp margin (the
+    # reference's literal >= 1.0 on grid_sample output, loss.py:130, is
+    # itself fp-dependent for such cells)
+    thresh = 1.0 if mode == "center" else 1.0 - 1e-5
+    s_mask = pool(mask.astype(jnp.float32)) >= thresh
+    if reflect:
+        err = jax.lax.stop_gradient(depth_est - depth_gt)
+        up = half_pixel_pool((err > 0).astype(jnp.float32)) == 1.0
+        dn = half_pixel_pool((err < 0).astype(jnp.float32)) == 1.0
+        rw = jnp.where(up | dn, 2.0, 1.0)
+        return masked_weighted_mean(smooth_l1(rw * s_est, rw * s_gt), s_mask)
+    s_w = pool(weight)
     return regression_loss(s_est, s_gt, s_mask, s_w)
 
 

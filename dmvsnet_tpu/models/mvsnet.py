@@ -57,6 +57,13 @@ class MVSNet(nn.Module):
     # image-height axis of cost volumes over sp (GSPMD halo-exchanges the
     # 3D convs).  None = single-device / propagate-from-inputs.
     mesh: Any = None
+    # Diagnostic: stop after this many cascade stages (0 = run all).
+    # Fractional values truncate MID-stage (s + 0.2 = after sampling,
+    # +0.4 = after pass-1 cost, +0.6 = after CostRegNet, +0.8 = after the
+    # refine cost, +0.9 = after CostRegNetRefine).  Stage scales stay
+    # those of the full ndepths config, so timing a truncated apply
+    # isolates per-step cost inside the composed graph.
+    run_stages: float = 0
 
     @nn.compact
     def __call__(
@@ -132,24 +139,43 @@ class MVSNet(nn.Module):
                     cost, self.mesh, mesh_lib.spatial_spec(cost.ndim, h_axis=2)
                 )
 
+            frac = self.run_stages - s if self.run_stages else 99.0
+            if frac <= 0.3:
+                outputs["partial"] = samples
+                break
+
             # pass 1: full-plane sweep
             cost = cost_pass("", samples)
+            if frac <= 0.5:
+                outputs["partial"] = cost
+                break
             cost_reg = CostRegNet(
                 self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_{s}"
             )(cost.astype(self.dtype), train)
+            if frac <= 0.7:
+                outputs["partial"] = cost_reg
+                break
             stage_out = depth_net.forward(cost_reg, samples, interval)
 
             # pass 2: 4-plane checkerboard refine on the "_c" features
             dv_c = stage_out["depth_values_c"]
             cost_c = cost_pass("_c", dv_c)
+            if frac <= 0.85:
+                outputs["partial"] = cost_c
+                break
             cost_reg_c = CostRegNetRefine(
                 self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_refine_{s}"
             )(cost_c.astype(self.dtype), train)
+            if frac <= 0.95:
+                outputs["partial"] = cost_reg_c
+                break
             refine_out = depth_net.refine(cost_reg_c, dv_c, interval)
 
             stage_out = {**refine_out, **stage_out}
             last_depth = stage_out["depth"]
             outputs[stage] = stage_out
             outputs.update(stage_out)
+            if self.run_stages and s + 1 >= self.run_stages:
+                break
 
         return outputs

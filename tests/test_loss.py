@@ -183,3 +183,95 @@ def test_alt_losses_finite(rng):
     for mode in ["classification", "gfocal", "unification"]:
         val = mvs_loss(outputs, gt, mask, mode, (1.0,))
         assert np.isfinite(float(val)), mode
+
+
+def torch_mc_loss_offsets(est, gt, mask, weight, ox, oy, reflect=False):
+    """Reference MC loss at explicit offsets (loss.py:110-151)."""
+    b, h, w = gt.shape
+    yy, xx = torch.meshgrid(
+        torch.arange(h - 1, dtype=torch.float32),
+        torch.arange(w - 1, dtype=torch.float32), indexing="ij",
+    )
+    x = (xx[None] + ox) / ((w - 1) / 2) - 1
+    y = (yy[None] + oy) / ((h - 1) / 2) - 1
+    grid = torch.stack((x, y), dim=3)
+
+    def gs(img):
+        return F.grid_sample(
+            img.unsqueeze(1), grid, mode="bilinear", padding_mode="zeros",
+            align_corners=True,
+        ).squeeze(1)
+
+    s_gt, s_est, s_w = gs(gt), gs(est), gs(weight)
+    s_mask = gs(mask.float()) >= 1.0 - 1e-5
+    if not reflect:
+        return torch_regression_loss(s_est, s_gt, s_mask, s_w)
+    err = est - gt
+    kernel = torch.ones((1, 1, 2, 2))
+    up = F.conv2d((err.unsqueeze(1) > 0).float(), kernel).squeeze(1)
+    dn = F.conv2d((err.unsqueeze(1) < 0).float(), kernel).squeeze(1)
+    rw = torch.where((up == 4.0) | (dn == 4.0),
+                     2 * torch.ones_like(s_gt), torch.ones_like(s_gt))
+    return F.smooth_l1_loss((rw * s_est)[s_mask], (rw * s_gt)[s_mask],
+                            reduction="mean")
+
+
+def test_monte_carlo_loss_random_mode_matches_torch(rng):
+    """Random-offset mode vs the torch oracle at the SAME offsets."""
+    import jax
+    from dmvsnet_tpu.losses.mvs_loss import subpixel_pool
+
+    b, h, w = 2, 9, 12
+    est = rng.normal(size=(b, h, w)).astype(np.float32) * 5 + 600
+    gt = est + rng.normal(size=est.shape).astype(np.float32)
+    mask = rng.uniform(size=est.shape) > 0.2
+    wt = np.full(est.shape, 2.0, np.float32)
+    # replicate the in-function offset draw to feed the oracle
+    key = jax.random.PRNGKey(7)
+    kx, ky = jax.random.split(key)
+    ox = np.asarray(jax.random.uniform(kx, (b, h - 1, w - 1), jnp.float32))
+    oy = np.asarray(jax.random.uniform(ky, (b, h - 1, w - 1), jnp.float32))
+    ours = monte_carlo_loss(
+        jnp.asarray(est), jnp.asarray(gt), jnp.asarray(mask, np.float32),
+        jnp.asarray(wt), mode="random", rng=key,
+    )
+    oracle = torch_mc_loss_offsets(
+        torch.from_numpy(est), torch.from_numpy(gt), torch.from_numpy(mask),
+        torch.from_numpy(wt), torch.from_numpy(ox), torch.from_numpy(oy),
+    )
+    np.testing.assert_allclose(float(ours), float(oracle), rtol=1e-4)
+    # consistency: subpixel_pool at 0.5 == the center-mode pooling
+    half = subpixel_pool(jnp.asarray(gt), jnp.full_like(jnp.asarray(ox), 0.5),
+                         jnp.full_like(jnp.asarray(oy), 0.5))
+    center = monte_carlo_loss(
+        jnp.asarray(est), jnp.asarray(gt), jnp.asarray(mask, np.float32),
+        jnp.asarray(wt), mode="center",
+    )
+    assert np.isfinite(float(center))
+    np.testing.assert_allclose(
+        np.asarray(half),
+        0.25 * (gt[:, :-1, :-1] + gt[:, :-1, 1:] + gt[:, 1:, :-1] + gt[:, 1:, 1:]),
+        rtol=1e-6,
+    )
+
+
+def test_monte_carlo_loss_reflect_matches_torch(rng):
+    b, h, w = 2, 10, 11
+    est = rng.normal(size=(b, h, w)).astype(np.float32) * 5 + 600
+    # force some uniform-sign 2x2 regions so reflect weights actually fire
+    gt = est.copy()
+    gt[:, :4, :5] -= 3.0
+    gt[:, 6:, 6:] += 2.5
+    gt += rng.normal(size=gt.shape).astype(np.float32) * 0.1
+    mask = rng.uniform(size=est.shape) > 0.1
+    wt = np.ones(est.shape, np.float32)
+    ours = monte_carlo_loss(
+        jnp.asarray(est), jnp.asarray(gt), jnp.asarray(mask, np.float32),
+        jnp.asarray(wt), mode="center", reflect=True,
+    )
+    oracle = torch_mc_loss_offsets(
+        torch.from_numpy(est), torch.from_numpy(gt), torch.from_numpy(mask),
+        torch.from_numpy(wt), torch.full((b, h - 1, w - 1), 0.5),
+        torch.full((b, h - 1, w - 1), 0.5), reflect=True,
+    )
+    np.testing.assert_allclose(float(ours), float(oracle), rtol=1e-4)

@@ -72,9 +72,70 @@ def flops_of(fn, args) -> float:
         return float("nan")
 
 
+def prefix_main(iters: int):
+    """Time the REAL composed model truncated after k stages (and the
+    feature net alone) to localize inter-stage overhead the isolated
+    component timings can't see."""
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.utils import synthetic
+
+    batch = synthetic.make_batch(batch=1, n_views=V, height=H, width=W, n_depths=192)
+    imgs = jnp.asarray(batch["imgs"])
+    proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
+    dv = jnp.asarray(batch["depth_values"])
+
+    full = MVSNet(ndepths=NDEPTHS, depth_interval_ratio=RATIOS,
+                  inverse_depth=True, use_pallas_warp=True)
+    variables = full.init(jax.random.PRNGKey(0), imgs, proj, dv)
+
+    results = []
+    # feature net alone, as composed (B*V batched call)
+    fnet = FeatureNet(8, name="feature")
+    fvars = {"params": variables["params"]["feature"],
+             "batch_stats": variables["batch_stats"]["feature"]}
+
+    def feat_fn(imgs):
+        return fnet.apply(fvars, imgs.reshape(V, H, W, 3))
+
+    dt, _ = time_amortized(feat_fn, (imgs,), iters)
+    results.append(("features", dt * 1e3))
+    print(f"prefix features: {dt*1e3:9.3f} ms", flush=True)
+
+    ks = [float(x) for x in next(
+        (a.split("=")[1] for a in sys.argv if a.startswith("--ks=")), "1,2,3"
+    ).split(",")]
+    for k in ks:
+        model = MVSNet(ndepths=NDEPTHS, depth_interval_ratio=RATIOS,
+                       inverse_depth=True, use_pallas_warp=True, run_stages=k)
+
+        def fwd(imgs, model=model):
+            out = model.apply(variables, imgs, proj, dv, train=False)
+            if "partial" in out:
+                return out["partial"]
+            return out["depth"], out["photometric_confidence"]
+
+        dt, compile_s = time_amortized(fwd, (imgs,), iters)
+        results.append((f"stages<={k}", dt * 1e3))
+        print(f"prefix stages<={k}: {dt*1e3:9.3f} ms   (compile {compile_s:.1f}s)",
+              flush=True)
+    prev = results[0][1]
+    for name, ms in results[1:]:
+        print(f"  marginal {name}: {ms - prev:9.3f} ms")
+        prev = ms
+    with open("/root/repo/STAGETIME_prefix.json", "w") as f:
+        json.dump([{"name": n, "ms": round(m, 3)} for n, m in results], f, indent=1)
+
+
 def main():
     iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 12))
     only = next((a.split("=")[1] for a in sys.argv if a.startswith("--only=")), "")
+    if "--prefix" in sys.argv:
+        if "--exact" not in sys.argv:
+            from dmvsnet_tpu.ops.pallas import warp_correlate
+
+            warp_correlate.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+        prefix_main(iters)
+        return
     if "--exact" not in sys.argv:
         from dmvsnet_tpu.ops.pallas import warp_correlate
 
