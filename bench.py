@@ -38,12 +38,22 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# ESTIMATE (not measured): cascade-MVS nets of this size run ~0.25-0.45 s
-# per 1152x864 5-view depth map on an A100 in fp32 torch eager.
+# A100 reference-throughput estimate.  The repo publishes no numbers and
+# no A100 is reachable from this environment, so the baseline is DERIVED
+# (see BASELINE.md "Derivation of the A100 estimate" for the arithmetic:
+# public CasMVSNet per-map latency anchor x the measured DMVSNet/CasMVSNet
+# FLOP ratio / a 1080Ti->A100 scaling factor, giving 2.0-3.3 maps/s).
+# 3.3 is the UPPER end — the value most favorable to the reference — so
+# vs_baseline reported here is a lower bound on the true ratio.
 A100_EST_MAPS_PER_S = 3.3
+
+# v5e peak: 197 TF/s bf16 (MFU denominator by convention, even for the
+# fp32 paths — fp32 MXU work runs at a fraction of this).
+V5E_PEAK_FLOPS = 197e12
 
 HEIGHT, WIDTH, VIEWS = 864, 1152, 5
 NDEPTHS = (48, 32, 8)
+TRAIN_HEIGHT, TRAIN_WIDTH = 512, 640  # reference scripts/train.sh
 
 
 def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
@@ -96,6 +106,75 @@ def time_amortized(forward, args, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def flops_of(fn, args) -> float:
+    try:
+        a = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(a, list):
+            a = a[0]
+        return float(a.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def bench_train(dtype, use_pallas, iters: int) -> None:
+    """Training-step throughput at the DTU train recipe (512x640, 5 views,
+    batch 2 — reference scripts/train.sh), fwd+loss+bwd+Adam in one jit.
+    The amortized loop carries the train state so every iteration does
+    real parameter updates (nothing can be CSE'd)."""
+    from dmvsnet_tpu.engine.state import create_train_state, make_lr_schedule
+    from dmvsnet_tpu.engine.steps import make_train_step
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.utils import synthetic
+
+    model = MVSNet(
+        ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
+        dtype=dtype, use_pallas_warp=use_pallas,
+    )
+    batch_np = synthetic.make_batch(
+        batch=2, n_views=VIEWS, height=TRAIN_HEIGHT, width=TRAIN_WIDTH,
+        n_depths=192,
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    lr = make_lr_schedule(1e-3, steps_per_epoch=1000)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, lr)
+    step = make_train_step(lr_schedule=lr, jit=False)
+
+    @jax.jit
+    def many(n, state, batch):
+        def body(i, st):
+            st2, scalars, _ = step(st, batch)
+            return st2
+
+        st = jax.lax.fori_loop(0, n, body, state)
+        return st.step, jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)),
+            st.params, jnp.float32(0.0),
+        )
+
+    fl = flops_of(lambda s, b: step(s, b)[1]["loss"], (state, batch))
+    _, chk = many(jnp.int32(1), state, batch)
+    float(np.asarray(chk))  # compile + warm
+    t0 = time.perf_counter()
+    _, chk = many(jnp.int32(iters), state, batch)
+    float(np.asarray(chk))
+    dt = (time.perf_counter() - t0) / iters
+    steps_per_s = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dtu_train_steps_per_s",
+                "value": round(steps_per_s, 4),
+                "unit": "steps/s",
+                "flops_per_step": fl,
+                "mfu": round(fl * steps_per_s / V5E_PEAK_FLOPS, 4)
+                if fl == fl else None,
+                "batch": 2,
+                "image": [TRAIN_HEIGHT, TRAIN_WIDTH],
+            }
+        )
+    )
+
+
 def main():
     dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 8))
@@ -106,7 +185,12 @@ def main():
 
         warp_correlate.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
 
+    if "--train" in sys.argv:
+        bench_train(dtype, use_pallas, iters)
+        return
+
     forward, args = build(dtype=dtype, use_pallas=use_pallas)
+    fl = flops_of(forward, args)
     dt = time_amortized(forward, args, iters)
     maps_per_s = 1.0 / dt
     print(
@@ -116,6 +200,9 @@ def main():
                 "value": round(maps_per_s, 3),
                 "unit": "maps/s",
                 "vs_baseline": round(maps_per_s / A100_EST_MAPS_PER_S, 3),
+                "flops_per_map": fl,
+                "mfu": round(fl * maps_per_s / V5E_PEAK_FLOPS, 4)
+                if fl == fl else None,
             }
         )
     )

@@ -48,6 +48,10 @@ class Config:
     summary_freq: int = 50
     seed: int = 0
     blendedmvs_finetune: bool = False
+    # cap samples per split (0 = all): smoke runs / CI fixtures shrink the
+    # epoch without monkeypatching dataset internals
+    max_train_samples: int = 0
+    max_val_samples: int = 0
 
     # testing (main.py:47-70)
     outdir: str = "./outputs"

@@ -64,4 +64,11 @@ def resolve_scan_list(listfile: str | None, datapath: str | None = None) -> list
             e for e in os.listdir(datapath)
             if os.path.isdir(os.path.join(datapath, e))
         )
+    looks_like_path = os.sep in listfile or listfile.endswith(".txt")
+    if (listfile and not looks_like_path
+            and all(part.strip() for part in listfile.split(","))):
+        # explicit scan names, comma-separated ("scan1" or "scan1,scan4"):
+        # small-fixture runs and tests name scans directly instead of
+        # monkeypatching the split tables
+        return [part.strip() for part in listfile.split(",")]
     raise FileNotFoundError(f"scan list {listfile!r} not found")

@@ -12,7 +12,6 @@ in place in HBM.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -24,9 +23,11 @@ from dmvsnet_tpu.losses.mvs_loss import mvs_loss
 
 def make_train_step(
     dlossw=(0.5, 1.0, 2.0), depth_mode: str = "regression",
-    lr_schedule: Callable | None = None,
+    lr_schedule: Callable | None = None, jit: bool = True,
 ) -> Callable:
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    """jit=False returns the raw step function (for callers that embed it
+    in a larger jitted program, e.g. the amortized train benchmark)."""
+
     def train_step(state, batch):
         def loss_fn(params):
             outputs, mutated = state.apply_fn(
@@ -52,6 +53,8 @@ def make_train_step(
         # the trainer actually renders imagery (summary_freq steps).
         return new_state, scalars, (outputs["depth"], outputs["photometric_confidence"])
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,))
     return train_step
 
 

@@ -90,6 +90,10 @@ class Trainer:
         self.val_ds = get_dataset(
             cfg.dataset_name, cfg.datapath, val_scans, 5, "val", **ds_kwargs
         )
+        if cfg.max_train_samples:
+            self.train_ds.metas = self.train_ds.metas[: cfg.max_train_samples]
+        if cfg.max_val_samples:
+            self.val_ds.metas = self.val_ds.metas[: cfg.max_val_samples]
         # cfg.batch_size is the GLOBAL batch; each process loads only its
         # 1/process_count shard and parallel.mesh.shard_batch assembles
         # the global array (reference: per-GPU DDP batches, train.sh:9).

@@ -48,9 +48,10 @@ class MVSNet(nn.Module):
     # (the reference constructs these nets but never calls them,
     # networks/mvsnet.py:107-108 — here the mode actually works).
     agg_mode: str = "variance"
-    # Use the fused Pallas band-matmul warp kernel for cost volumes at
-    # inference (1.9-3.2x the XLA gather path on v5e).  Training always
-    # uses the XLA path (the kernel has no VJP yet).
+    # Use the fused Pallas band-matmul warp kernel for cost volumes
+    # (1.9-3.2x the XLA gather path on v5e).  Valid for training too: the
+    # kernel has a custom VJP (adjoint Pallas kernels, gradient-parity
+    # tested against the XLA path).
     use_pallas_warp: bool = False
     dtype: Any = jnp.float32
     # Optional jax.sharding.Mesh with (dp, sp) axes: batch over dp, the
@@ -129,7 +130,7 @@ class MVSNet(nn.Module):
                         views, proj2, dv,
                         lambda sim: weight_net(sim.astype(self.dtype), train),
                     )
-                elif self.use_pallas_warp and not train:
+                elif self.use_pallas_warp:
                     from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_pallas
 
                     cost = aggregate_cost_volume_pallas(views, proj2, dv)

@@ -134,6 +134,121 @@ def _make_kernel(c: int, pd: int):
     return kernel
 
 
+def _make_grad_ref_kernel(c: int, pd: int):
+    """Adjoint wrt the tiled reference: for one (i, j) tile, accumulate
+    sum_d cot[d,g(s),p] * res[d,s,p] * wy[d,s,p] / half over all depth
+    groups (dg is the INNERMOST grid axis so the output block stays
+    VMEM-resident and revisiting accumulates)."""
+    g, q = _row_group(c)
+    p = BR * BL
+
+    def kernel(orig_ref, coord_ref, cot_ref, src_hbm, out_ref, win_ref, sem):
+        dg = pl.program_id(2)
+        rb = orig_ref[0, 0, 0, 0]
+        c0 = pl.multiple_of(orig_ref[0, 0, 0, 1], 128)
+        cp = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem
+        )
+        cp.start()
+        cp.wait()
+
+        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (C_WIN, p), 0)).astype(
+            jnp.float32
+        )
+        r0f = (rb * g).astype(jnp.float32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (g * c, p), 0)
+        l_of_sub = (sub // c).astype(jnp.float32)
+        half = c // 2
+        gmask0 = ((sub % c) < half).astype(jnp.float32)
+
+        acc = jnp.zeros((g * c, p), jnp.float32)
+        for pdi in range(pd):
+            px = coord_ref[pdi, 0, pl.ds(0, 1), :]
+            py = coord_ref[pdi, 0, pl.ds(1, 1), :]
+            rx = jnp.maximum(0.0, 1.0 - jnp.abs(px - cc))
+            cot0 = cot_ref[pdi, 0, pl.ds(0, 1), :]
+            cot1 = cot_ref[pdi, 0, pl.ds(1, 1), :]
+            csel = (cot0 * gmask0 + cot1 * (1.0 - gmask0)) / half
+            for j in range(q):
+                res = jnp.dot(
+                    win_ref[j], rx, preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION,
+                )
+                wyb = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(py - (r0f + j * g + l_of_sub))
+                )
+                acc = acc + res * wyb * csel
+
+        @pl.when(dg == 0)
+        def _init():
+            out_ref[0, 0] = acc
+
+        @pl.when(dg > 0)
+        def _accum():
+            out_ref[0, 0] = out_ref[0, 0] + acc
+
+    return kernel
+
+
+def _make_grad_src_kernel(c: int, pd: int):
+    """Adjoint wrt the packed source: per (dg, i, j) instance, the window
+    gradient is cot_res @ Rx^T (lanes-contraction dot), read-modify-
+    written into the HBM grad buffer.  Correct because the TPU grid
+    executes sequentially and the write is awaited inside the body."""
+    g, q = _row_group(c)
+    p = BR * BL
+
+    def kernel(orig_ref, coord_ref, cot_ref, ref_ref, z_ref, out_hbm,
+               win_ref, sem_i, sem_o):
+        del z_ref  # aliased with out_hbm (carries the zero initialization)
+        ix = pl.program_id(2)
+        rb = orig_ref[0, 0, ix, 0]
+        c0 = pl.multiple_of(orig_ref[0, 0, ix, 1], 128)
+        rd = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem_i
+        )
+        rd.start()
+        rd.wait()
+
+        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (C_WIN, p), 0)).astype(
+            jnp.float32
+        )
+        r0f = (rb * g).astype(jnp.float32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (g * c, p), 0)
+        l_of_sub = (sub // c).astype(jnp.float32)
+        half = c // 2
+        gmask0 = ((sub % c) < half).astype(jnp.float32)
+        refv = ref_ref[0, 0].astype(jnp.float32)
+
+        grads = [win_ref[j] for j in range(q)]
+        for pdi in range(pd):
+            px = coord_ref[pdi, 0, pl.ds(2 * ix, 1), :]
+            py = coord_ref[pdi, 0, pl.ds(2 * ix + 1, 1), :]
+            rx = jnp.maximum(0.0, 1.0 - jnp.abs(px - cc))
+            cot0 = cot_ref[pdi, 0, pl.ds(2 * ix, 1), :]
+            cot1 = cot_ref[pdi, 0, pl.ds(2 * ix + 1, 1), :]
+            csel = (cot0 * gmask0 + cot1 * (1.0 - gmask0)) / half
+            for j in range(q):
+                wyb = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(py - (r0f + j * g + l_of_sub))
+                )
+                cot_res = refv * wyb * csel  # (G*C, P)
+                grads[j] = grads[j] + jax.lax.dot_general(
+                    cot_res, rx, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION,
+                )
+        for j in range(q):
+            win_ref[j] = grads[j]
+        wr = pltpu.make_async_copy(
+            win_ref, out_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], sem_o
+        )
+        wr.start()
+        wr.wait()
+
+    return kernel
+
+
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
@@ -148,18 +263,9 @@ def _tile_lanes(a: jnp.ndarray, nh: int, nw: int):
     return a.reshape(*lead, nh, nw, BR * BL)
 
 
-def _corr_view_tiled(
-    src_feat: jnp.ndarray,
-    ref_t: jnp.ndarray,
-    rel_proj: jnp.ndarray,
-    depth_values: jnp.ndarray,
-    interpret: bool,
-) -> jnp.ndarray:
-    """One view's correlation in the TILED output layout (D, nh, 2nw, P).
-
-    ref_t is the pre-tiled reference (see plane_sweep_corr_view); callers
-    aggregating several views share it and untile the SUM once.
-    """
+def _prep(src_feat, rel_proj, depth_values):
+    """Shared forward/backward preamble: padded sizes, per-tile coords,
+    window origins, and the row-packed transposed source."""
     h, w, c = src_feat.shape
     g, q = _row_group(c)
     dpl = depth_values.shape[0]
@@ -168,9 +274,13 @@ def _corr_view_tiled(
     nh, nw = hp // BR, wp // BL
     p = BR * BL
 
-    # group-major channel permutation: [0,2,4,...,1,3,5,...]
+    # group-major channel permutation: [0,2,4,...,1,3,5,...].
+    # Channels move to the MAJOR axis before any pad/copy: a materialized
+    # (..., c) intermediate in the default (pallas-boundary) layout pads
+    # its sub-128 trailing dim to 128 lanes — 16x HBM traffic at c=8.
     perm = list(range(0, c, 2)) + list(range(1, c, 2))
-    srcp = jnp.pad(src_feat[..., perm], ((0, hp - h), (0, wp - w), (0, 0)))
+    src_cm = jnp.transpose(src_feat, (2, 0, 1))[jnp.array(perm)]  # (c, h, w), w minor
+    srcp = jnp.pad(src_cm, ((0, 0), (0, hp - h), (0, wp - w)))
 
     # coordinates from the SAME geometry as the XLA path (exact parity).
     # Pad HIGH: the window origin is a per-tile MINIMUM and a low pad
@@ -213,11 +323,99 @@ def _corr_view_tiled(
     coords = jnp.stack([px_t, py_t], axis=3)  # (D, nh, nw, 2, P)
     coords = coords.reshape(dpl, nh, 2 * nw, p)
 
-    # row-packed + transposed source: (H/G, G*C, Wp)
-    src_packed = srcp.reshape(hp // g, g, wp, c).transpose(0, 2, 1, 3).reshape(
-        hp // g, wp, g * c
+    # row-packed + transposed source: (H/G, G*C, Wp), sublane s of block R
+    # holding source row R*g + s//c, channel s%c — built channel-major so
+    # every intermediate keeps Wp on lanes
+    src_t = srcp.reshape(c, hp // g, g, wp).transpose(1, 2, 0, 3).reshape(
+        hp // g, g * c, wp
     )
-    src_t = src_packed.transpose(0, 2, 1)
+    return origin, coords, src_t, (g, q, dpl, wp, hp, nh, nw, pd, perm)
+
+
+def _span_ok(
+    rel_proj: jnp.ndarray, depth_values: jnp.ndarray, h: int, w: int, c: int
+) -> jnp.ndarray:
+    """True iff every tile's projected taps fit its kernel window.
+
+    Replicates _prep's window-origin arithmetic (same clip/pad/floor), then
+    checks the HIGH side: the highest REAL-data column (row) any pixel of a
+    (plane-group, tile) touches must lie inside [c0, c0+C_WIN)
+    ([rb*g, rb*g+q*g)).  The low side is covered by construction (origins
+    are floored minima).  Out-of-image taps carry zero weight or read the
+    zero padding, so they impose no constraint.  Cheap: two reduces over
+    the coordinate grids, no tiling transposes.
+    """
+    g, q = _row_group(c)
+    dpl = depth_values.shape[0]
+    wp = _round_up(w, max(BL, C_WIN))
+    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
+    nh, nw = hp // BR, wp // BL
+    px, py = geometry.plane_sweep_coords(
+        rel_proj[None], depth_values[None], h, w
+    )
+    pxc = jnp.pad(
+        jnp.clip(px[0], -2.0, float(wp) + 1.0),
+        ((0, 0), (0, hp - h), (0, wp - w)), constant_values=float(wp) + 1.0,
+    )
+    pyc = jnp.pad(
+        jnp.clip(py[0], -2.0, float(hp) + 1.0),
+        ((0, 0), (0, hp - h), (0, wp - w)), constant_values=float(hp) + 1.0,
+    )
+    pd = PD if dpl % PD == 0 else (2 if dpl % 2 == 0 else 1)
+
+    def tiles(a):
+        return a.reshape(dpl // pd, pd, nh, BR, nw, BL)
+
+    c0 = jnp.clip(
+        (jnp.floor(jnp.min(tiles(pxc), axis=(1, 3, 5))).astype(jnp.int32) - 1)
+        // BL * BL,
+        0, wp - C_WIN,
+    )
+    rb = jnp.clip(
+        (jnp.floor(jnp.min(tiles(pyc), axis=(1, 3, 5))).astype(jnp.int32) - 1)
+        // g,
+        0, hp // g - q,
+    )
+    hx = jnp.where(
+        pxc < w, jnp.minimum(jnp.floor(pxc) + 1.0, float(w - 1)), -1e9
+    )
+    hy = jnp.where(
+        pyc < h, jnp.minimum(jnp.floor(pyc) + 1.0, float(h - 1)), -1e9
+    )
+    vx = jnp.max(tiles(hx), axis=(1, 3, 5))
+    vy = jnp.max(tiles(hy), axis=(1, 3, 5))
+    return jnp.all(vx - c0.astype(jnp.float32) < C_WIN) & jnp.all(
+        vy - (rb * g).astype(jnp.float32) < q * g
+    )
+
+
+def _tile_out(x: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
+    """(D, H, W, 2) -> the kernel's tiled layout (D, nh, 2nw, P); the
+    exact inverse of _untile_out (used by the XLA fallback branch so both
+    cond branches return identical shapes)."""
+    d, h, w, _ = x.shape
+    hp, wp = nh * BR, nw * BL
+    xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    t = _tile_lanes(jnp.moveaxis(xp, -1, 1), nh, nw)  # (D, 2, nh, nw, P)
+    return t.transpose(0, 2, 3, 1, 4).reshape(d, nh, 2 * nw, BR * BL)
+
+
+def _corr_view_tiled(
+    src_feat: jnp.ndarray,
+    ref_t: jnp.ndarray,
+    rel_proj: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    interpret: bool,
+) -> jnp.ndarray:
+    """One view's correlation in the TILED output layout (D, nh, 2nw, P).
+
+    ref_t is the pre-tiled reference (see plane_sweep_corr_view); callers
+    aggregating several views share it and untile the SUM once.
+    """
+    h, w, c = src_feat.shape
+    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values)
+    g, q, dpl, wp, hp, nh, nw, pd, _ = dims
+    p = BR * BL
 
     grid = (dpl // pd, nh, nw)
     kernel = _make_kernel(c, pd)
@@ -253,6 +451,134 @@ def _corr_view_tiled(
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _corr_view_tiled_diff(interpret, src_feat, ref_t, rel_proj, depth_values):
+    """_corr_view_tiled with a hand-written VJP: adjoint Pallas kernels
+    for the source (transposed band matmul, sequentially accumulated into
+    HBM windows) and the tiled reference (block-revisited accumulation
+    over depth groups).  Projections and depth hypotheses get ZERO
+    cotangents — the sampling grid carries no gradient, matching the XLA
+    path's stop_gradient (reference networks/module.py:222)."""
+    return _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret)
+
+
+def _corr_view_tiled_fwd(interpret, src_feat, ref_t, rel_proj, depth_values):
+    out = _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret)
+    return out, (src_feat, ref_t, rel_proj, depth_values)
+
+
+def _corr_view_tiled_bwd(interpret, residuals, cot):
+    src_feat, ref_t, rel_proj, depth_values = residuals
+    h, w, c = src_feat.shape
+    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values)
+    g, q, dpl, wp, hp, nh, nw, pd, perm = dims
+    p = BR * BL
+    cot = cot.astype(jnp.float32)
+
+    grad_ref_t = pl.pallas_call(
+        _make_grad_ref_kernel(c, pd),
+        grid=(nh, nw, dpl // pd),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 2), lambda i, j, d: (d, i, j, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((pd, 1, 2, p), lambda i, j, d: (d, i, j, 0)),
+            pl.BlockSpec((pd, 1, 2, p), lambda i, j, d: (d, i, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g * c, p), lambda i, j, d: (i, j, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((nh, nw, g * c, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(origin, coords, cot, src_t)
+
+    grad_src_t = pl.pallas_call(
+        _make_grad_src_kernel(c, pd),
+        grid=(dpl // pd, nh, nw),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, nw, 2), lambda d, i, j: (d, i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((pd, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0)),
+            pl.BlockSpec((pd, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0)),
+            pl.BlockSpec((1, 1, g * c, p), lambda d, i, j: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((hp // g, g * c, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(origin, coords, cot, ref_t, jnp.zeros((hp // g, g * c, wp), jnp.float32))
+
+    # invert the source packing: (H/G, G*C, Wp) -> (c, hp, wp) channel-major
+    # -> crop + inverse perm + back to channels-last
+    gs = grad_src_t.reshape(hp // g, g, c, wp).transpose(2, 0, 1, 3)
+    gs = gs.reshape(c, hp, wp)[:, :h, :w]
+    inv_perm = [0] * c
+    for i, pi in enumerate(perm):
+        inv_perm[pi] = i
+    grad_src = gs[jnp.array(inv_perm)].transpose(1, 2, 0)
+    return (
+        grad_src, grad_ref_t,
+        jnp.zeros_like(rel_proj), jnp.zeros_like(depth_values),
+    )
+
+
+_corr_view_tiled_diff.defvjp(_corr_view_tiled_fwd, _corr_view_tiled_bwd)
+
+
+def _corr_view_tiled_safe(
+    interpret, src_feat, ref_feat, ref_t, rel_proj, depth_values
+):
+    """Kernel when the geometry fits, XLA gather path when it doesn't.
+
+    The kernel windows assume bounded per-tile projected spans (wide
+    baselines / strong rotations — e.g. the T&T 11-view interval_ratio-3
+    regime — can exceed them, which would silently zero taps).  The span
+    check routes each (view, plane-set) through lax.cond: the offending
+    call falls back to the exact XLA path, tiled into the kernel's output
+    layout so either branch aggregates identically.  Differentiation works
+    through both branches (custom VJP / plain autodiff respectively).
+    """
+    from dmvsnet_tpu.ops import warp as warp_ops
+
+    h, w, c = src_feat.shape
+    g, q = _row_group(c)
+    wp = _round_up(w, max(BL, C_WIN))
+    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
+    nh, nw = hp // BR, wp // BL
+    ok = _span_ok(rel_proj, depth_values, h, w, c)
+
+    def pallas_branch():
+        return _corr_view_tiled_diff(
+            interpret, src_feat, ref_t, rel_proj, depth_values
+        )
+
+    def xla_branch():
+        px, py = geometry.plane_sweep_coords(
+            rel_proj[None], depth_values[None], h, w
+        )
+        px = jax.lax.stop_gradient(px)
+        py = jax.lax.stop_gradient(py)
+        warped = jax.vmap(warp_ops.bilinear_sample)(src_feat[None], px, py)
+        corr = warp_ops.group_correlation(warped, ref_feat[None])
+        return _tile_out(corr[0].astype(jnp.float32), nh, nw)
+
+    return jax.lax.cond(ok, pallas_branch, xla_branch)
+
+
 def _tile_ref(ref_feat: jnp.ndarray) -> jnp.ndarray:
     """Pre-tile the reference features for _corr_view_tiled:
     (H, W, C) -> (nh, nw, G*C, P), channels group-major and tiled G times."""
@@ -262,10 +588,11 @@ def _tile_ref(ref_feat: jnp.ndarray) -> jnp.ndarray:
     hp = _round_up(max(h, (q + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
     perm = list(range(0, c, 2)) + list(range(1, c, 2))
-    refp = jnp.pad(ref_feat[..., perm], ((0, hp - h), (0, wp - w), (0, 0)))
+    # channel-major before the pad so no sub-128 trailing dim materializes
+    ref_cm = jnp.transpose(ref_feat, (2, 0, 1))[jnp.array(perm)]  # (c, h, w)
+    refp = jnp.pad(ref_cm, ((0, 0), (0, hp - h), (0, wp - w)))
     return jnp.tile(
-        jnp.moveaxis(_tile_lanes(jnp.moveaxis(refp, -1, 0), nh, nw), 0, 2),
-        (1, 1, g, 1),
+        jnp.moveaxis(_tile_lanes(refp, nh, nw), 0, 2), (1, 1, g, 1)
     )
 
 
@@ -300,7 +627,9 @@ def plane_sweep_corr_view(
     """
     h, w, _ = src_feat.shape
     ref_t = _tile_ref(ref_feat)
-    out = _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret)
+    out = _corr_view_tiled_safe(
+        interpret, src_feat, ref_feat, ref_t, rel_proj, depth_values
+    )
     return _untile_out(out, h, w)
 
 
@@ -330,8 +659,8 @@ def aggregate_cost_volume_pallas(
         total = None
         for v in range(1, len(features)):
             rel = geometry.relative_projection(fused_b[v], fused_b[0])
-            corr = _corr_view_tiled(
-                feats_b[v], ref_t, rel, dv_b, interpret=interpret
+            corr = _corr_view_tiled_safe(
+                interpret, feats_b[v], feats_b[0], ref_t, rel, dv_b
             )
             total = corr if total is None else total + corr
         return _untile_out(total, h, w)

@@ -75,3 +75,92 @@ def test_pallas_padded_sizes(rng):
     ref = np.asarray(W.aggregate_cost_volume(feats, proj2, dv))
     pal = np.asarray(aggregate_cost_volume_pallas(feats, proj2, dv, interpret=True))
     np.testing.assert_allclose(pal, ref, atol=2e-4)
+
+
+def test_pallas_gradient_matches_xla(rng):
+    """Custom VJP (adjoint Pallas kernels) vs autodiff of the XLA gather
+    path: gradients wrt source and reference features must agree; proj /
+    depth hypotheses must get ZERO gradient (stop-gradient grid)."""
+    import jax
+
+    b, h, w, c, d = 1, 24, 160, 8, 4
+    feats = [
+        jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for _ in range(3)
+    ]
+    cams = np.stack(
+        [synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2,
+                                tx=-6.0 * i, angle=0.012 * i) for i in range(3)]
+    )
+    proj2 = jnp.asarray(cams[None])
+    dv = jnp.asarray(
+        np.sort(rng.uniform(400, 700, (b, d, h, w)).astype(np.float32), axis=1)
+    )
+    # a non-trivial scalar so cotangents vary over (d, pixel, group)
+    cot_w = jnp.asarray(rng.normal(size=(b, d, h, w, 2)).astype(np.float32))
+
+    def loss_pallas(f0, f1, f2, dv):
+        out = aggregate_cost_volume_pallas([f0, f1, f2], proj2, dv,
+                                           interpret=True)
+        return jnp.sum(out * cot_w)
+
+    def loss_xla(f0, f1, f2, dv):
+        return jnp.sum(W.aggregate_cost_volume([f0, f1, f2], proj2, dv) * cot_w)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*feats, dv)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(*feats, dv)
+    for ours, ref, name in zip(gp, gx, ["ref", "src1", "src2", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+    np.testing.assert_array_equal(np.asarray(gp[3]), 0.0)
+
+
+def test_wide_baseline_falls_back_and_matches_xla(rng):
+    """T&T-like adversarial geometry (strong rotation + wide baseline):
+    per-tile projected spans exceed the kernel windows, the span check
+    must detect it, and the cond fallback must keep the output EXACT vs
+    the XLA path (no silent zeros)."""
+    from dmvsnet_tpu.core import geometry
+    from dmvsnet_tpu.ops.pallas import warp_correlate as wc
+
+    b, h, w, c, d = 1, 32, 768, 8, 4
+    feats = [
+        jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for _ in range(2)
+    ]
+    # 3x focal-ratio pair (strong zoom): dpx/dx = 3, so a 128-lane tile's
+    # in-image projected span is ~384 columns >= C_WIN coverage
+    cams = np.stack(
+        [synthetic.camera_stack(300.0, 300.0, w / 2, h / 2),
+         synthetic.camera_stack(900.0, 900.0, w / 2, h / 2, tx=-2.0)]
+    )
+    proj2 = jnp.asarray(cams[None])
+    dv = jnp.asarray(
+        np.sort(rng.uniform(120, 900, (b, d, h, w)).astype(np.float32), axis=1)
+    )
+    fused = geometry.fuse_projection(proj2)
+    rel = geometry.relative_projection(fused[0, 1], fused[0, 0])
+    ok = bool(wc._span_ok(rel, dv[0], h, w, c))
+    assert not ok, "adversarial geometry should violate the kernel spans"
+
+    ref = np.asarray(W.aggregate_cost_volume(feats, proj2, dv))
+    pal = np.asarray(aggregate_cost_volume_pallas(feats, proj2, dv, interpret=True))
+    # 2e-4: same class as the kernel-path tests — the fallback re-derives
+    # the relative projection (batched vs unbatched inv differ by ~1 ulp,
+    # amplified 3x by the zoom); the property under test is NO silent
+    # zeros, i.e. agreement at fp tolerance rather than O(1) loss.
+    np.testing.assert_allclose(pal, ref, atol=2e-4)
+
+    # benign geometry must stay on the kernel path
+    cams_ok = np.stack(
+        [synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2),
+         synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2, tx=-8.0)]
+    )
+    fused_ok = geometry.fuse_projection(jnp.asarray(cams_ok[None]))
+    rel_ok = geometry.relative_projection(fused_ok[0, 1], fused_ok[0, 0])
+    dv_ok = jnp.asarray(
+        np.sort(rng.uniform(400, 700, (b, d, h, w)).astype(np.float32), axis=1)
+    )
+    assert bool(wc._span_ok(rel_ok, dv_ok[0], h, w, c))

@@ -26,30 +26,21 @@ def dtu_tree(tmp_path_factory):
 def _config(root, tmp, **kw):
     return Config(
         datapath=root, log_dir=os.path.join(tmp, "logs"),
-        trainlist="train", testlist="train",  # synthetic tree only has scan1
+        # explicit scan-name lists + sample caps: Config-level knobs for
+        # fixture-sized runs, no dataset surgery needed
+        trainlist="scan1", testlist="scan1",
         dataset_name="dtu_yao", nviews=3, batch_size=1, epochs=1,
         ndepths=(8, 8, 8), interval_ratio=(4, 2, 1), numdepth=16,
         eval_freq=10, summary_freq=1000, img_size=(64, 160),
+        max_train_samples=2, max_val_samples=1,
     ).replace(**kw)
 
 
-def test_trainer_epoch_checkpoint_resume(dtu_tree, tmp_path, monkeypatch):
-    # shrink the dataset: 1 scan x 3 refs x 7 lights = 21 metas; cap to 2
+def test_trainer_epoch_checkpoint_resume(dtu_tree, tmp_path):
     cfg = _config(dtu_tree, str(tmp_path))
-    # scan list "train" has 79 scans; only scan1 exists -> restrict
-    monkeypatch.setattr(
-        "dmvsnet_tpu.data.splits.resolve_scan_list",
-        lambda listfile, datapath=None: ["scan1"],
-    )
-    monkeypatch.setattr(
-        "dmvsnet_tpu.engine.train.resolve_scan_list",
-        lambda listfile, datapath=None: ["scan1"],
-    )
     trainer = Trainer(cfg)
-    trainer.train_ds.metas = trainer.train_ds.metas[:2]
-    trainer.val_ds.metas = trainer.val_ds.metas[:1]
-    trainer.train_loader.dataset = trainer.train_ds
-    trainer.val_loader.dataset = trainer.val_ds
+    assert len(trainer.train_ds.metas) == 2
+    assert len(trainer.val_ds.metas) == 1
 
     trainer.train()
     # checkpoint written for epoch 0
