@@ -44,13 +44,15 @@ def motion_blur(img: np.ndarray, rng: np.random.Generator, max_kernel_size=3):
 
 
 def color_jitter(img01: np.ndarray, rng: np.random.Generator):
-    """brightness U(0.75,1.25), contrast U(0.3,1.5) about the mean gray —
+    """brightness U(0.75,1.25), contrast U(0.3,1.5) about the LUMA mean —
     the torchvision ColorJitter settings at reference blendedmvs.py:45."""
     b = rng.uniform(0.75, 1.25)
     img01 = np.clip(img01 * b, 0, 1)
     c = rng.uniform(0.3, 1.5)
-    gray_mean = img01.mean(axis=-1, keepdims=True).mean()
-    return np.clip(gray_mean + (img01 - gray_mean) * c, 0, 1)
+    # torchvision's adjust_contrast blends toward the mean of the ITU-R
+    # 601 grayscale (0.299R+0.587G+0.114B), not the per-channel RGB mean
+    luma_mean = (img01 @ np.array([0.299, 0.587, 0.114], img01.dtype)).mean()
+    return np.clip(luma_mean + (img01 - luma_mean) * c, 0, 1)
 
 
 class BlendedMVSDataset:

@@ -30,7 +30,9 @@ from scipy.spatial import cKDTree
 
 def reduce_points(pts: np.ndarray, density: float, seed: int = 0) -> np.ndarray:
     """Random-order thinning: keep a point if no already-kept point lies
-    within ``density`` (reducePts_haa.m semantics)."""
+    within ``density`` — equivalent to reducePts_haa.m's greedy
+    kill-the-neighbourhood in random order (a point survives iff no
+    earlier-kept point is within dst; rangesearch is <=, hence <= here)."""
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(pts))
     pts_o = pts[order]
@@ -49,7 +51,7 @@ def reduce_points(pts: np.ndarray, density: float, seed: int = 0) -> np.ndarray:
                 for dz in (-1, 0, 1):
                     for j in grid.get((kx + dx, ky + dy, kz + dz), ()):
                         q = kept_pts[j]
-                        if ((p - q) ** 2).sum() < d2:
+                        if ((p - q) ** 2).sum() <= d2:
                             ok = False
                             break
                     if not ok:
@@ -65,13 +67,24 @@ def reduce_points(pts: np.ndarray, density: float, seed: int = 0) -> np.ndarray:
     return pts_o[kept_mask]
 
 
+def _matlab_round(x: np.ndarray) -> np.ndarray:
+    """MATLAB round: halves away from zero (numpy rounds halves to even)."""
+    return np.trunc(x + np.copysign(0.5, x))
+
+
 def mask_points_by_obs(pts: np.ndarray, obs_mask: np.ndarray, bb: np.ndarray,
-                       res: float, margin: float) -> np.ndarray:
-    """Keep data points inside the scan's observability mask
-    (BaseEvalMain_web.m:54-64): quantize into the ObsMask grid (dilated
-    by ``margin``) and look up."""
-    qv = (pts - bb[0] + margin) / res
-    idx = np.round(qv).astype(np.int64)
+                       res: float) -> np.ndarray:
+    """Keep data points inside the scan's observability mask.
+
+    PointCompareMain.m:33-41: ``Qv = round((Qdata - BB(1,:))/Res + 1)``,
+    valid when 1 <= Qv <= size(ObsMask) (1-based).  The mask's 10 mm
+    margin is baked into the shipped ObsMask{set}_10.mat volume — it does
+    NOT enter the quantization.  Rounding follows MATLAB (halves away
+    from zero).
+    """
+    # literal 1-based form then shift: the +1 matters at the -0.5 cell
+    # boundary (round(0.5) = 1 -> index 0, where round(-0.5) would be -1)
+    idx = (_matlab_round((pts - bb[0]) / res + 1.0) - 1.0).astype(np.int64)
     in_bounds = np.all((idx >= 0) & (idx < np.array(obs_mask.shape)), axis=1)
     keep = np.zeros(len(pts), bool)
     ib = idx[in_bounds]
@@ -98,7 +111,6 @@ def eval_scan(
     obs_mask: np.ndarray | None = None,
     bb: np.ndarray | None = None,
     res: float = 0.2,
-    margin: float = 10.0,
     ground_plane: np.ndarray | None = None,
     max_dist: float = 20.0,
     density: float = 0.2,
@@ -112,7 +124,7 @@ def eval_scan(
     # accuracy: data -> stl, filter by observability mask
     acc_pts = data_pts
     if obs_mask is not None and bb is not None and len(acc_pts):
-        acc_pts = acc_pts[mask_points_by_obs(acc_pts, obs_mask, bb, res, margin)]
+        acc_pts = acc_pts[mask_points_by_obs(acc_pts, obs_mask, bb, res)]
     if len(acc_pts):
         d_acc, _ = cKDTree(stl_pts).query(acc_pts, k=1)
         d_acc = d_acc[d_acc < max_dist]
@@ -155,7 +167,7 @@ def load_ground_plane(mat_path: str) -> np.ndarray:
 
 def evaluate_dtu(
     ply_dir: str, gt_dir: str, scan_ids=None, density: float = 0.2,
-    max_dist: float = 20.0, margin: float = 10.0,
+    max_dist: float = 20.0,
 ) -> dict:
     """Full DTU protocol over the eval scans (ComputeStat_web.m).
 
@@ -183,7 +195,7 @@ def evaluate_dtu(
             plane = load_ground_plane(plane_path)
         r = eval_scan(
             data_pts.astype(np.float64), stl_pts.astype(np.float64),
-            obs_mask, bb, res, margin, plane, max_dist, density, sid,
+            obs_mask, bb, res, plane, max_dist, density, sid,
         )
         print(f"scan{sid}: acc {r.mean_acc:.4f} comp {r.mean_comp:.4f} "
               f"overall {r.overall:.4f}", flush=True)

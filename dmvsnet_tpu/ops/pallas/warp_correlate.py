@@ -143,9 +143,10 @@ def _make_grad_ref_kernel(c: int, pd: int):
     p = BR * BL
 
     def kernel(orig_ref, coord_ref, cot_ref, src_hbm, out_ref, win_ref, sem):
+        jx = pl.program_id(1)
         dg = pl.program_id(2)
-        rb = orig_ref[0, 0, 0, 0]
-        c0 = pl.multiple_of(orig_ref[0, 0, 0, 1], 128)
+        rb = orig_ref[0, 0, jx, 0]
+        c0 = pl.multiple_of(orig_ref[0, 0, jx, 1], 128)
         cp = pltpu.make_async_copy(
             src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem
         )
@@ -163,11 +164,11 @@ def _make_grad_ref_kernel(c: int, pd: int):
 
         acc = jnp.zeros((g * c, p), jnp.float32)
         for pdi in range(pd):
-            px = coord_ref[pdi, 0, pl.ds(0, 1), :]
-            py = coord_ref[pdi, 0, pl.ds(1, 1), :]
+            px = coord_ref[pdi, 0, pl.ds(2 * jx, 1), :]
+            py = coord_ref[pdi, 0, pl.ds(2 * jx + 1, 1), :]
             rx = jnp.maximum(0.0, 1.0 - jnp.abs(px - cc))
-            cot0 = cot_ref[pdi, 0, pl.ds(0, 1), :]
-            cot1 = cot_ref[pdi, 0, pl.ds(1, 1), :]
+            cot0 = cot_ref[pdi, 0, pl.ds(2 * jx, 1), :]
+            cot1 = cot_ref[pdi, 0, pl.ds(2 * jx + 1, 1), :]
             csel = (cot0 * gmask0 + cot1 * (1.0 - gmask0)) / half
             for j in range(q):
                 res = jnp.dot(
@@ -480,11 +481,11 @@ def _corr_view_tiled_bwd(interpret, residuals, cot):
         grid=(nh, nw, dpl // pd),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, 2), lambda i, j, d: (d, i, j, 0),
+                (1, 1, nw, 2), lambda i, j, d: (d, i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((pd, 1, 2, p), lambda i, j, d: (d, i, j, 0)),
-            pl.BlockSpec((pd, 1, 2, p), lambda i, j, d: (d, i, j, 0)),
+            pl.BlockSpec((pd, 1, 2 * nw, p), lambda i, j, d: (d, i, 0, 0)),
+            pl.BlockSpec((pd, 1, 2 * nw, p), lambda i, j, d: (d, i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(

@@ -130,3 +130,23 @@ def test_loader_sharding_and_batching(tmp_path):
     before = list(l0._host_indices())
     l0.set_epoch(1)
     assert list(l0._host_indices()) != before
+
+
+def test_blendedmvs_contrast_uses_luma_mean():
+    """torchvision adjust_contrast semantics: blend toward the mean of the
+    ITU-R 601 grayscale (no torchvision in this image — hand oracle)."""
+    from dmvsnet_tpu.data.blendedmvs import color_jitter
+
+    class FixedRng:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def uniform(self, lo, hi):
+            return self.vals.pop(0)
+
+    img = np.zeros((2, 3, 3), np.float32)
+    img[..., 0] = 0.8  # pure red: luma mean 0.299*0.8, rgb mean 0.8/3
+    out = color_jitter(img, FixedRng([1.0, 0.5]))  # brightness 1, contrast .5
+    luma = 0.299 * 0.8
+    np.testing.assert_allclose(out[..., 0], luma + (0.8 - luma) * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(out[..., 1], luma + (0.0 - luma) * 0.5, rtol=1e-6)

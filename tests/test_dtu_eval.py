@@ -38,11 +38,11 @@ def test_obs_mask_filters_accuracy():
     # mask observes only the x<5 half; data has a bad x>=5 half
     data = np.concatenate([g[g[:, 0] < 5], (g + 7.7)[g[:, 0] >= 5]])
     bb = np.array([[0.0, 0, 0], [10.0, 10, 10]])
-    res, margin = 1.0, 0.0
+    res = 1.0
     mask = np.zeros((11, 11, 11), np.uint8)
     mask[:6] = 1
     r = dtu_eval.eval_scan(
-        data, g, obs_mask=mask, bb=bb, res=res, margin=margin,
+        data, g, obs_mask=mask, bb=bb, res=res,
         reduce=False, max_dist=20.0,
     )
     np.testing.assert_allclose(r.mean_acc, 0.0, atol=1e-9)  # bad half masked out
@@ -55,3 +55,34 @@ def test_ground_plane_filters_completeness():
     plane = np.array([0.0, 0, 1.0, -5.0])
     r = dtu_eval.eval_scan(data, g, ground_plane=plane, reduce=False)
     np.testing.assert_allclose(r.mean_comp, 0.0, atol=1e-9)
+
+
+def test_obs_mask_matches_matlab_transcription(rng):
+    """mask_points_by_obs vs a literal transcription of
+    PointCompareMain.m:33-41 (1-based, MATLAB half-away-from-zero round),
+    including exact half-cell boundary points and negatives."""
+    res = 0.25
+    bb0 = np.array([1.0, -2.0, 3.0])
+    mask = (rng.uniform(size=(13, 9, 11)) > 0.5).astype(np.uint8)
+    pts = bb0 + rng.uniform(-1.5, 4.0, size=(500, 3))
+    # exact boundary cases: half-cell offsets, negative side
+    pts = np.concatenate([
+        pts,
+        bb0 + res * np.array([[0.5, 0.5, 0.5], [1.5, 2.5, 3.5],
+                              [-0.5, 0.0, 0.0], [-1.5, 1.0, 1.0]]),
+    ])
+
+    def matlab_keep(p):
+        qv = np.array([round_half_away((pc - b0) / res + 1.0)
+                       for pc, b0 in zip(p, bb0)])
+        if np.all((qv >= 1) & (qv <= np.array(mask.shape))):
+            return mask[int(qv[0]) - 1, int(qv[1]) - 1, int(qv[2]) - 1] > 0
+        return False
+
+    def round_half_away(x):
+        import math
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    expected = np.array([matlab_keep(p) for p in pts])
+    got = dtu_eval.mask_points_by_obs(pts, mask, np.stack([bb0, bb0 + 10]), res)
+    np.testing.assert_array_equal(got, expected)
