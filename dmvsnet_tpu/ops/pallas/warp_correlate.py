@@ -57,7 +57,11 @@ from dmvsnet_tpu.core import geometry
 BR = 8        # output rows per tile
 BL = 128      # output lanes (columns) per tile
 C_WIN = 384   # source cols per window (>= 130 + 254 span coverage)
-MIN_ROWS = 20  # min source rows per window (incl. margin for PD-groups)
+MIN_ROWS = 16  # min source rows per window (incl. margin for PD-groups).
+# Effective coverage after worst-case rb alignment loss is ~17 rows at
+# every channel width: 8-row tiles at scale<=~1 + rotation tilt + the
+# PD-group plane drift + 2 taps.  Safe to tune down: _span_ok routes any
+# geometry that doesn't fit to the exact XLA fallback path.
 PD = 4        # depth planes per kernel instance sharing one window DMA
 # (adjacent plane-sweep hypotheses shift the projection by only a few
 # pixels, so a group of PD planes shares a window with a small margin)

@@ -24,6 +24,12 @@ import jax  # noqa: E402
 # that copy of the config, so override it at runtime as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite's wall time is dominated by XLA:CPU
+# compiles of the cascade (~20 min cold); warm reruns drop to minutes.
+# Entries are keyed by platform, so sharing the TPU cache dir is safe.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -27,6 +27,8 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=nproc,
         process_id=rank,

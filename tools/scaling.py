@@ -32,7 +32,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from dmvsnet_tpu.engine.state import create_train_state, make_lr_schedule  # noqa: E402
-from dmvsnet_tpu.engine.steps import make_infer_step, make_train_step  # noqa: E402
+from dmvsnet_tpu.engine.steps import make_train_step  # noqa: E402
 from dmvsnet_tpu.models import MVSNet  # noqa: E402
 from dmvsnet_tpu.parallel import make_mesh, shard_batch  # noqa: E402
 from dmvsnet_tpu.utils import synthetic  # noqa: E402
@@ -92,25 +92,15 @@ def sp_parity(height=864, width=1152, ndepths=(48, 32, 8)):
             jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
             batch["depth_values"],
         )
-        state = type("S", (), {})()  # minimal infer-state shim
 
-        infer = make_infer_step()
+        @jax.jit
+        def infer(variables, imgs, proj, dv):
+            out = model.apply(variables, imgs, proj, dv, train=False)
+            return out["depth"], out["photometric_confidence"]
 
-        class St:
-            apply_fn = model.apply
-            params = variables["params"]
-            batch_stats = variables["batch_stats"]
-
-        del state
-        if mesh is not None:
-            with mesh:
-                out = infer(
-                    St, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
-                )
-        else:
-            out = infer(
-                St, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
-            )
+        out = infer(
+            variables, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
+        )
         return jax.tree_util.tree_map(np.asarray, out)
 
     d1, c1 = run(None)
