@@ -193,6 +193,28 @@ def main():
     fl = flops_of(forward, args)
     dt = time_amortized(forward, args, iters)
     maps_per_s = 1.0 / dt
+
+    # Per-stage ms attribution, if tools/stagetime.py has been run on
+    # this machine (grouped: feature / warp / costreg / heads+sampling).
+    stage_ms = None
+    try:
+        with open("/root/repo/STAGETIME.json") as f:
+            entries = json.load(f)
+        groups = {"feature": 0.0, "warp": 0.0, "costreg": 0.0, "other": 0.0}
+        for e in entries:
+            n = e["name"]
+            if n.startswith("warp_xla"):
+                continue  # the non-default alternative path
+            for g in ("feature", "warp", "costreg"):
+                if n.startswith(g):
+                    groups[g] += e["ms"]
+                    break
+            else:
+                groups["other"] += e["ms"]
+        stage_ms = {k: round(v, 1) for k, v in groups.items()}
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -203,6 +225,7 @@ def main():
                 "flops_per_map": fl,
                 "mfu": round(fl * maps_per_s / V5E_PEAK_FLOPS, 4)
                 if fl == fl else None,
+                "stage_ms": stage_ms,
             }
         )
     )

@@ -56,7 +56,11 @@ from dmvsnet_tpu.core import geometry
 
 BR = 8        # output rows per tile
 BL = 128      # output lanes (columns) per tile
-C_WIN = 384   # source cols per window (>= 130 + 254 span coverage)
+C_WIN = 384   # max source cols per window (>= 130 + 254 span coverage)
+C_WIN_FAST = 256  # narrow-window tier: band-matmul FLOPs scale with the
+# window width, so geometries whose per-tile span fits 256 (all near-view
+# plane sweeps; checked per call by _span_ok) run ~1.5x faster.  Window
+# widths must stay multiples of 128 so c0 clip bounds stay lane-aligned.
 MIN_ROWS = 16  # min source rows per window (incl. margin for PD-groups).
 # Effective coverage after worst-case rb alignment loss is ~17 rows at
 # every channel width: 8-row tiles at scale<=~1 + rotation tilt + the
@@ -82,7 +86,7 @@ def _row_group(c: int) -> tuple[int, int]:
     return g, q
 
 
-def _make_kernel(c: int, pd: int):
+def _make_kernel(c: int, pd: int, cwin: int):
     g, q = _row_group(c)
     p = BR * BL
 
@@ -97,12 +101,12 @@ def _make_kernel(c: int, pd: int):
         c0 = pl.multiple_of(orig_ref[0, 0, ix, 1], 128)  # aligned by wrapper
 
         cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem
+            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, cwin)], win_ref, sem
         )
         cp.start()
         cp.wait()
 
-        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (C_WIN, p), 0)).astype(
+        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (cwin, p), 0)).astype(
             jnp.float32
         )
         r0f = (rb * g).astype(jnp.float32)
@@ -138,7 +142,7 @@ def _make_kernel(c: int, pd: int):
     return kernel
 
 
-def _make_grad_ref_kernel(c: int, pd: int):
+def _make_grad_ref_kernel(c: int, pd: int, cwin: int):
     """Adjoint wrt the tiled reference: for one (i, j) tile, accumulate
     sum_d cot[d,g(s),p] * res[d,s,p] * wy[d,s,p] / half over all depth
     groups (dg is the INNERMOST grid axis so the output block stays
@@ -152,12 +156,12 @@ def _make_grad_ref_kernel(c: int, pd: int):
         rb = orig_ref[0, 0, jx, 0]
         c0 = pl.multiple_of(orig_ref[0, 0, jx, 1], 128)
         cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem
+            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, cwin)], win_ref, sem
         )
         cp.start()
         cp.wait()
 
-        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (C_WIN, p), 0)).astype(
+        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (cwin, p), 0)).astype(
             jnp.float32
         )
         r0f = (rb * g).astype(jnp.float32)
@@ -195,7 +199,7 @@ def _make_grad_ref_kernel(c: int, pd: int):
     return kernel
 
 
-def _make_grad_src_kernel(c: int, pd: int):
+def _make_grad_src_kernel(c: int, pd: int, cwin: int):
     """Adjoint wrt the packed source: per (dg, i, j) instance, the window
     gradient is cot_res @ Rx^T (lanes-contraction dot), read-modify-
     written into the HBM grad buffer.  Correct because the TPU grid
@@ -210,12 +214,12 @@ def _make_grad_src_kernel(c: int, pd: int):
         rb = orig_ref[0, 0, ix, 0]
         c0 = pl.multiple_of(orig_ref[0, 0, ix, 1], 128)
         rd = pltpu.make_async_copy(
-            out_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], win_ref, sem_i
+            out_hbm.at[pl.ds(rb, q), :, pl.ds(c0, cwin)], win_ref, sem_i
         )
         rd.start()
         rd.wait()
 
-        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (C_WIN, p), 0)).astype(
+        cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (cwin, p), 0)).astype(
             jnp.float32
         )
         r0f = (rb * g).astype(jnp.float32)
@@ -246,7 +250,7 @@ def _make_grad_src_kernel(c: int, pd: int):
         for j in range(q):
             win_ref[j] = grads[j]
         wr = pltpu.make_async_copy(
-            win_ref, out_hbm.at[pl.ds(rb, q), :, pl.ds(c0, C_WIN)], sem_o
+            win_ref, out_hbm.at[pl.ds(rb, q), :, pl.ds(c0, cwin)], sem_o
         )
         wr.start()
         wr.wait()
@@ -268,13 +272,13 @@ def _tile_lanes(a: jnp.ndarray, nh: int, nw: int):
     return a.reshape(*lead, nh, nw, BR * BL)
 
 
-def _prep(src_feat, rel_proj, depth_values):
+def _prep(src_feat, rel_proj, depth_values, cwin):
     """Shared forward/backward preamble: padded sizes, per-tile coords,
     window origins, and the row-packed transposed source."""
     h, w, c = src_feat.shape
     g, q = _row_group(c)
     dpl = depth_values.shape[0]
-    wp = _round_up(w, max(BL, C_WIN))
+    wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
     hp = _round_up(max(h, (q + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
     p = BR * BL
@@ -313,7 +317,7 @@ def _prep(src_feat, rel_proj, depth_values):
         (jnp.floor(
             jnp.min(px_t.reshape(dpl // pd, pd, nh, nw, p), axis=(1, 4))
         ).astype(jnp.int32) - 1) // BL * BL,
-        0, wp - C_WIN,
+        0, wp - cwin,
     )
     rb = jnp.clip(
         (jnp.floor(
@@ -338,7 +342,8 @@ def _prep(src_feat, rel_proj, depth_values):
 
 
 def _span_ok(
-    rel_proj: jnp.ndarray, depth_values: jnp.ndarray, h: int, w: int, c: int
+    rel_proj: jnp.ndarray, depth_values: jnp.ndarray, h: int, w: int, c: int,
+    cwin: int = C_WIN,
 ) -> jnp.ndarray:
     """True iff every tile's projected taps fit its kernel window.
 
@@ -352,7 +357,7 @@ def _span_ok(
     """
     g, q = _row_group(c)
     dpl = depth_values.shape[0]
-    wp = _round_up(w, max(BL, C_WIN))
+    wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
     hp = _round_up(max(h, (q + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
     px, py = geometry.plane_sweep_coords(
@@ -374,7 +379,7 @@ def _span_ok(
     c0 = jnp.clip(
         (jnp.floor(jnp.min(tiles(pxc), axis=(1, 3, 5))).astype(jnp.int32) - 1)
         // BL * BL,
-        0, wp - C_WIN,
+        0, wp - cwin,
     )
     rb = jnp.clip(
         (jnp.floor(jnp.min(tiles(pyc), axis=(1, 3, 5))).astype(jnp.int32) - 1)
@@ -389,7 +394,7 @@ def _span_ok(
     )
     vx = jnp.max(tiles(hx), axis=(1, 3, 5))
     vy = jnp.max(tiles(hy), axis=(1, 3, 5))
-    return jnp.all(vx - c0.astype(jnp.float32) < C_WIN) & jnp.all(
+    return jnp.all(vx - c0.astype(jnp.float32) < cwin) & jnp.all(
         vy - (rb * g).astype(jnp.float32) < q * g
     )
 
@@ -411,6 +416,7 @@ def _corr_view_tiled(
     rel_proj: jnp.ndarray,
     depth_values: jnp.ndarray,
     interpret: bool,
+    cwin: int = C_WIN,
 ) -> jnp.ndarray:
     """One view's correlation in the TILED output layout (D, nh, 2nw, P).
 
@@ -418,12 +424,12 @@ def _corr_view_tiled(
     aggregating several views share it and untile the SUM once.
     """
     h, w, c = src_feat.shape
-    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values)
+    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values, cwin)
     g, q, dpl, wp, hp, nh, nw, pd, _ = dims
     p = BR * BL
 
     grid = (dpl // pd, nh, nw)
-    kernel = _make_kernel(c, pd)
+    kernel = _make_kernel(c, pd, cwin)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -448,7 +454,7 @@ def _corr_view_tiled(
         ),
         out_shape=jax.ShapeDtypeStruct((dpl, nh, 2 * nw, p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
+            pltpu.VMEM((q, g * c, cwin), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -456,32 +462,32 @@ def _corr_view_tiled(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _corr_view_tiled_diff(interpret, src_feat, ref_t, rel_proj, depth_values):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _corr_view_tiled_diff(interpret, cwin, src_feat, ref_t, rel_proj, depth_values):
     """_corr_view_tiled with a hand-written VJP: adjoint Pallas kernels
     for the source (transposed band matmul, sequentially accumulated into
     HBM windows) and the tiled reference (block-revisited accumulation
     over depth groups).  Projections and depth hypotheses get ZERO
     cotangents — the sampling grid carries no gradient, matching the XLA
     path's stop_gradient (reference networks/module.py:222)."""
-    return _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret)
+    return _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret, cwin)
 
 
-def _corr_view_tiled_fwd(interpret, src_feat, ref_t, rel_proj, depth_values):
-    out = _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret)
+def _corr_view_tiled_fwd(interpret, cwin, src_feat, ref_t, rel_proj, depth_values):
+    out = _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret, cwin)
     return out, (src_feat, ref_t, rel_proj, depth_values)
 
 
-def _corr_view_tiled_bwd(interpret, residuals, cot):
+def _corr_view_tiled_bwd(interpret, cwin, residuals, cot):
     src_feat, ref_t, rel_proj, depth_values = residuals
     h, w, c = src_feat.shape
-    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values)
+    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values, cwin)
     g, q, dpl, wp, hp, nh, nw, pd, perm = dims
     p = BR * BL
     cot = cot.astype(jnp.float32)
 
     grad_ref_t = pl.pallas_call(
-        _make_grad_ref_kernel(c, pd),
+        _make_grad_ref_kernel(c, pd, cwin),
         grid=(nh, nw, dpl // pd),
         in_specs=[
             pl.BlockSpec(
@@ -497,14 +503,14 @@ def _corr_view_tiled_bwd(interpret, residuals, cot):
         ),
         out_shape=jax.ShapeDtypeStruct((nh, nw, g * c, p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
+            pltpu.VMEM((q, g * c, cwin), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(origin, coords, cot, src_t)
 
     grad_src_t = pl.pallas_call(
-        _make_grad_src_kernel(c, pd),
+        _make_grad_src_kernel(c, pd, cwin),
         grid=(dpl // pd, nh, nw),
         in_specs=[
             pl.BlockSpec(
@@ -519,7 +525,7 @@ def _corr_view_tiled_bwd(interpret, residuals, cot):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((hp // g, g * c, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((q, g * c, C_WIN), jnp.float32),
+            pltpu.VMEM((q, g * c, cwin), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -561,14 +567,20 @@ def _corr_view_tiled_safe(
 
     h, w, c = src_feat.shape
     g, q = _row_group(c)
-    wp = _round_up(w, max(BL, C_WIN))
+    wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
     hp = _round_up(max(h, (q + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
-    ok = _span_ok(rel_proj, depth_values, h, w, c)
+    ok_fast = _span_ok(rel_proj, depth_values, h, w, c, C_WIN_FAST)
+    ok = _span_ok(rel_proj, depth_values, h, w, c, C_WIN)
 
-    def pallas_branch():
+    def pallas_fast():
         return _corr_view_tiled_diff(
-            interpret, src_feat, ref_t, rel_proj, depth_values
+            interpret, C_WIN_FAST, src_feat, ref_t, rel_proj, depth_values
+        )
+
+    def pallas_wide():
+        return _corr_view_tiled_diff(
+            interpret, C_WIN, src_feat, ref_t, rel_proj, depth_values
         )
 
     def xla_branch():
@@ -581,7 +593,10 @@ def _corr_view_tiled_safe(
         corr = warp_ops.group_correlation(warped, ref_feat[None])
         return _tile_out(corr[0].astype(jnp.float32), nh, nw)
 
-    return jax.lax.cond(ok, pallas_branch, xla_branch)
+    def wide_or_xla():
+        return jax.lax.cond(ok, pallas_wide, xla_branch)
+
+    return jax.lax.cond(ok_fast, pallas_fast, wide_or_xla)
 
 
 def _tile_ref(ref_feat: jnp.ndarray) -> jnp.ndarray:
@@ -589,7 +604,7 @@ def _tile_ref(ref_feat: jnp.ndarray) -> jnp.ndarray:
     (H, W, C) -> (nh, nw, G*C, P), channels group-major and tiled G times."""
     h, w, c = ref_feat.shape
     g, q = _row_group(c)
-    wp = _round_up(w, max(BL, C_WIN))
+    wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
     hp = _round_up(max(h, (q + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
     perm = list(range(0, c, 2)) + list(range(1, c, 2))
