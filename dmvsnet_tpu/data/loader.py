@@ -95,6 +95,15 @@ class Loader:
         idx = self._host_indices()
         if self.drop_last:
             idx = idx[: len(idx) // self.batch_size * self.batch_size]
+        elif len(idx) % self.batch_size:
+            # wrap-pad the ragged final batch to full size: a smaller batch
+            # may not divide over the dp mesh axis (parallel.mesh.shard_batch
+            # shards axis 0 over dp) and would crash or silently recompile.
+            # Same duplicate-sample semantics DistributedSampler already uses
+            # for host padding above; eval metrics weight batch means equally
+            # either way (reference tools.py:18-37).
+            pad = self.batch_size - len(idx) % self.batch_size
+            idx = np.resize(idx, len(idx) + pad)  # cyclic repeat
         batches = [
             idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
         ]

@@ -14,6 +14,7 @@ found minus validation".
 from __future__ import annotations
 
 import os
+import re
 
 DTU_TRAIN_IDS = [
     2, 6, 7, 8, 14, 16, 18, 19, 20, 22, 30, 31, 36, 39, 41, 42, 44, 45, 46,
@@ -64,11 +65,15 @@ def resolve_scan_list(listfile: str | None, datapath: str | None = None) -> list
             e for e in os.listdir(datapath)
             if os.path.isdir(os.path.join(datapath, e))
         )
-    looks_like_path = os.sep in listfile or listfile.endswith(".txt")
-    if (listfile and not looks_like_path
-            and all(part.strip() for part in listfile.split(","))):
-        # explicit scan names, comma-separated ("scan1" or "scan1,scan4"):
-        # small-fixture runs and tests name scans directly instead of
-        # monkeypatching the split tables
-        return [part.strip() for part in listfile.split(",")]
+    # explicit scan names, comma-separated ("scan1" or "scan1,scan4"), or
+    # anything behind an explicit "scans:" marker: small-fixture runs and
+    # tests name scans directly instead of monkeypatching the split tables.
+    # Restricted to the scanNNN pattern (or the marker) so a mistyped list
+    # FILENAME still raises FileNotFoundError instead of becoming a bogus
+    # one-element scan list.
+    if listfile and listfile.startswith("scans:"):
+        return [p.strip() for p in listfile[len("scans:"):].split(",") if p.strip()]
+    parts = [p.strip() for p in listfile.split(",")] if listfile else []
+    if parts and all(re.fullmatch(r"scan\d+", p) for p in parts):
+        return parts
     raise FileNotFoundError(f"scan list {listfile!r} not found")

@@ -43,6 +43,11 @@ def run_test(cfg: Config) -> None:
     infer = make_infer_step()
     state = None
 
+    # fix_res latch carried ACROSS per-scene datasets: the reference keeps
+    # it in module globals (reference general_eval.py:7-8,150-154) so it
+    # survives the fresh per-scene loader of model.py:330; here the latch
+    # is threaded explicitly through each dataset's fixed_hw.
+    latched_hw = None
     for scene in scans:
         max_h, max_w = cfg.max_h, cfg.max_w
         if scene in TANK_SCENE_CONFIG:
@@ -53,7 +58,7 @@ def run_test(cfg: Config) -> None:
             "general_eval", cfg.datapath, [scene], cfg.num_view, "test",
             ndepths=cfg.numdepth, interval_scale=cfg.interval_scale,
             max_h=max_h, max_w=max_w, fix_res=cfg.fix_res,
-            inverse_depth=cfg.inverse_depth,
+            inverse_depth=cfg.inverse_depth, fixed_hw=latched_hw,
         )
         for i in range(len(ds)):
             sample = ds[i]
@@ -114,6 +119,8 @@ def run_test(cfg: Config) -> None:
                     cv2.COLOR_RGB2BGR,
                 ),
             )
+        if cfg.fix_res:
+            latched_hw = ds.latched_hw
 
     fusion_args = {
         "datapath": cfg.datapath, "outdir": cfg.outdir, "conf": tuple(cfg.conf),

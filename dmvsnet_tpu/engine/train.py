@@ -119,6 +119,12 @@ class Trainer:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), sample, self.lr_schedule, cfg.wd
         )
+        # multi-process: lift the identically-seeded local state to global
+        # replicated arrays FIRST, so a collectively-saved checkpoint is
+        # restored into a global-array skeleton (every process reads its
+        # addressable shards) — the same order tests/multiprocess_worker.py
+        # exercises.  A no-op for a single process.
+        self.state = replicate_tree(self.state, self.mesh)
         self.start_epoch = cfg.start_epoch
         if cfg.resume:
             weights_only = cfg.blendedmvs_finetune
@@ -127,10 +133,6 @@ class Trainer:
             )
             if not weights_only:
                 self.start_epoch = resumed_epoch
-        # multi-process: lift the (identically-seeded / just-restored)
-        # local state to global replicated arrays so jit over the
-        # multi-host mesh accepts it
-        self.state = replicate_tree(self.state, self.mesh)
 
         self.train_step = make_train_step(
             tuple(cfg.dlossw), cfg.depth_mode, self.lr_schedule
@@ -188,11 +190,29 @@ class Trainer:
                 self.validate(epoch)
 
     def validate(self, epoch: int = 0):
+        """Held-out eval with the reference's observability: per-batch
+        'test' scalars + image panel at summary_freq, epoch-mean
+        'test_avg' scalars (reference model.py:215-299; imagery reused
+        from :170-192)."""
         meter = AverageMeter()
-        for batch in self.val_loader:
-            batch = shard_batch(self._to_device(batch), self.mesh)
-            scalars, _, _ = self.eval_step(self.state, batch)
-            meter.update({k: float(v) for k, v in scalars.items()})
+        n_batches = max(1, len(self.val_loader))
+        for i, batch in enumerate(self.val_loader):
+            host_batch = self._to_device(batch)
+            batch = shard_batch(host_batch, self.mesh)
+            scalars, depth, conf = self.eval_step(self.state, batch)
+            scalars = {k: float(v) for k, v in scalars.items()}
+            meter.update(scalars)
+            gstep = epoch * n_batches + i
+            if gstep % self.cfg.summary_freq == 0:
+                self._log("test", scalars, gstep)
+                if self.writer is not None:
+                    from dmvsnet_tpu.engine import imagery
+
+                    imagery.log_images(
+                        self.writer, "test",
+                        imagery.training_images(host_batch, depth, conf),
+                        gstep,
+                    )
         self._log("test_avg", meter.avg, epoch)
         print(f"validate epoch {epoch}: {meter.avg}", flush=True)
         return meter.avg

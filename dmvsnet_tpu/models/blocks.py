@@ -102,8 +102,8 @@ def conv3d_dstack(x: jnp.ndarray, kernel: jnp.ndarray, stride: int) -> jnp.ndarr
     return y.reshape(b, -1, *y.shape[1:])
 
 
-class _Conv3dDStack(nn.Module):
-    """A conv3d with nn.Conv-compatible params applied via conv3d_dstack."""
+class _Conv3dDDense(nn.Module):
+    """A conv3d with nn.Conv-compatible params applied via conv3d_ddense."""
 
     features: int
     kernel: int
@@ -136,7 +136,7 @@ class ConvBlock(nn.Module):
 
     Mirrors reference networks/module.py:28-63 (2D) / :120-157 (3D):
     bias only when bn is off; torch-symmetric padding.  3x3x3 3D convs
-    run through conv3d_dstack (numerically the same op; ~2-5x faster on
+    run through conv3d_ddense (numerically the same op; ~2-5x faster on
     the TPU conv emitter at the small channel counts of this network).
     """
 
@@ -153,7 +153,7 @@ class ConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2
         if self.dims == 3 and self.kernel == 3:
-            x = _Conv3dDStack(
+            x = _Conv3dDDense(
                 self.features, self.kernel, self.stride,
                 use_bias=not self.bn, dtype=self.dtype, name="conv",
             )(x)
@@ -204,21 +204,20 @@ class DeconvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad, out_pad = self.kernel // 2, 1
         lo = self.kernel - 1 - pad
-        if True:  # native ConvTranspose: dilated-conv and subpixel
-            # reformulations both lost to it here (zero-dense FLOPs and
-            # strided-scatter layouts respectively)
-            x = nn.ConvTranspose(
-                self.features,
-                kernel_size=(self.kernel,) * self.dims,
-                strides=(2,) * self.dims,
-                padding=[(lo, lo + out_pad)] * self.dims,
-                use_bias=not self.bn,
-                transpose_kernel=True,
-                kernel_init=torch_conv_kernel_init,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="conv",
-            )(x)
+        # native ConvTranspose: the dilated-conv and subpixel reformulations
+        # both lost to it here (zero-dense FLOPs and strided-scatter layouts)
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(self.kernel,) * self.dims,
+            strides=(2,) * self.dims,
+            padding=[(lo, lo + out_pad)] * self.dims,
+            use_bias=not self.bn,
+            transpose_kernel=True,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -250,7 +249,7 @@ class PlainConv(nn.Module):
         pad = self.kernel // 2
         fan_in = x.shape[-1] * self.kernel ** self.dims
         if self.dims == 3 and self.kernel == 3 and not self.use_bias:
-            return _Conv3dDStack(
+            return _Conv3dDDense(
                 self.features, self.kernel, 1, use_bias=False,
                 dtype=self.dtype, name="conv",
             )(x)

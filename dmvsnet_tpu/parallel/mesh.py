@@ -19,6 +19,8 @@ by ``jax.process_index()`` (see data.loader).
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -62,6 +64,11 @@ def constrain(x, mesh: Mesh | None, spec: P):
         return x
     for axis, name in enumerate(spec):
         if name is not None and x.shape[axis] % mesh.shape[name]:
+            logging.debug(
+                "sharding constraint %s dropped: axis %d of shape %s does "
+                "not divide mesh axis %r=%d", spec, axis, x.shape, name,
+                mesh.shape[name],
+            )
             return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 

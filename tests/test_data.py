@@ -150,3 +150,54 @@ def test_blendedmvs_contrast_uses_luma_mean():
     luma = 0.299 * 0.8
     np.testing.assert_allclose(out[..., 0], luma + (0.8 - luma) * 0.5, rtol=1e-6)
     np.testing.assert_allclose(out[..., 1], luma + (0.0 - luma) * 0.5, rtol=1e-6)
+
+
+def test_fix_res_latch_threads_across_scenes(tmp_path):
+    """fix_res must latch the FIRST scene's snapped resolution and apply it
+    to later scenes (reference keeps a module-global s_h/s_w latch,
+    general_eval.py:150-168; here the runner threads ds.latched_hw into the
+    next scene's fixed_hw — engine/evaluate.py run_test)."""
+    root = str(tmp_path)
+    synthetic.write_eval_scene(root, "scanA", height=128, width=160, n_views=3)
+    synthetic.write_eval_scene(root, "scanB", height=160, width=224, n_views=3)
+
+    ds1 = get_dataset(
+        "general_eval", root, ["scanA"], nviews=3, mode="test",
+        max_h=256, max_w=256, fix_res=True,
+    )
+    s1 = ds1[0]
+    assert ds1.latched_hw == tuple(s1["imgs"].shape[1:3])
+
+    ds2 = get_dataset(
+        "general_eval", root, ["scanB"], nviews=3, mode="test",
+        max_h=256, max_w=256, fix_res=True, fixed_hw=ds1.latched_hw,
+    )
+    s2 = ds2[0]
+    # scanB's native snap would be (160, 224); the latch forces scanA's
+    assert tuple(s2["imgs"].shape[1:3]) == ds1.latched_hw
+    assert ds2.latched_hw == ds1.latched_hw
+
+
+def test_loader_pads_ragged_final_eval_batch(tmp_path):
+    """drop_last=False loaders wrap-pad the final batch to full size so the
+    dp-sharded eval step never sees a non-divisible batch axis."""
+    root = str(tmp_path)
+    synthetic.write_dtu_training_tree(root, scans=("scan1",), n_views=4)
+    ds = get_dataset("dtu_yao", root, ["scan1"], nviews=3, mode="train")
+    ds.metas = ds.metas[:7]  # 7 samples, batch 4 -> ragged tail of 3
+    loader = make_loader(ds, batch_size=4, mode="val")
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2
+    assert all(b["imgs"].shape[0] == 4 for b in batches)
+
+
+def test_resolve_scan_list_rejects_mistyped_filenames(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        splits.resolve_scan_list("train_list")  # missing file, not a scan
+    assert splits.resolve_scan_list("scan1,scan4") == ["scan1", "scan4"]
+    assert splits.resolve_scan_list("scans:fam_hash1,fam_hash2") == [
+        "fam_hash1", "fam_hash2"
+    ]
+    lst = tmp_path / "mylist.txt"
+    lst.write_text("scan9\nscan10\n")
+    assert splits.resolve_scan_list(str(lst)) == ["scan9", "scan10"]

@@ -38,6 +38,11 @@ def torch_mc_loss(est, gt, mask, weight):
     # grid_sample's coordinate un-normalization makes all-valid cells sum
     # to 1-eps at random, so the literal oracle is fp-fragile. Our pooled
     # implementation is exact; compare against the robust reading.
+    # NOTE: this oracle therefore INTENTIONALLY deviates from the
+    # reference's literal threshold — both impl and oracle use the 1e-5
+    # margin, so this test validates the saner semantics, and any
+    # divergence vs the reference is confined to fp-ambiguous boundary
+    # cells whose 4 taps sum to within 1e-5 of exactly 1.0.
     s_mask = gs(mask.float()) >= 1.0 - 1e-5
     return torch_regression_loss(s_est, s_gt, s_mask, s_w)
 
