@@ -1,0 +1,66 @@
+"""The bench's numerics mode is proven, not asserted (VERDICT r2 #3).
+
+bench.py times the Pallas warp kernel at ``Precision.DEFAULT`` (one bf16
+MXU pass); parity tests elsewhere run HIGHEST/interpret.  These tests
+grade the DEFAULT mode itself:
+
+* on real TPU hardware (opt-in: ``DMVSNET_TPU_TESTS=1``, because the
+  suite's conftest pins the whole process to CPU), a subprocess runs
+  tools/numerics_check.py — full-model depth/confidence maps at
+  Precision.DEFAULT vs HIGHEST vs the XLA path, mm-scale tolerances;
+* everywhere, the committed NUMERICS.json artifact (produced on the
+  chip) is re-checked against the pinned tolerances, so a stale or
+  regressed artifact fails the suite on any machine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _assert_within_tol(report: dict) -> None:
+    tol = report["tol"]
+    s = report["depth_default_vs_highest_mm"]
+    assert s["mean"] <= tol["mean_mm"], s
+    assert s["p99"] <= tol["p99_mm"], s
+    assert s["max"] <= tol["max_mm"], s
+    assert report["conf_default_vs_highest"]["mean"] <= tol["conf_mean"]
+    x = report["depth_pallas_vs_xla_mm"]
+    assert x["mean"] <= tol["mean_mm"] and x["max"] <= tol["max_mm"], x
+
+
+def test_numerics_artifact_within_tolerance():
+    path = os.path.join(REPO, "NUMERICS.json")
+    if not os.path.exists(path):
+        pytest.skip("NUMERICS.json not yet produced on the chip")
+    with open(path) as f:
+        report = json.load(f)
+    assert report["platform"] != "cpu", "artifact must come from real TPU"
+    _assert_within_tol(report)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("DMVSNET_TPU_TESTS"),
+    reason="needs the real TPU chip (suite conftest pins CPU); "
+    "set DMVSNET_TPU_TESTS=1",
+)
+def test_numerics_mode_on_chip(tmp_path):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the axon TPU platform win
+    out = tmp_path / "numerics.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "numerics_check.py"),
+         f"--json={out}"],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-4000:]
+    with open(out) as f:
+        _assert_within_tol(json.load(f))

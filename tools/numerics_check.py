@@ -1,0 +1,121 @@
+"""Prove the bench's numerics mode: Pallas DEFAULT vs HIGHEST vs XLA.
+
+The headline benchmark (bench.py) runs the Pallas warp kernel's band
+matmuls at ``Precision.DEFAULT`` (one bf16 pass).  All parity tests run
+HIGHEST/interpret.  This tool closes that gap on the REAL chip: it runs
+the full cascade forward three ways at a realistic DTU-eval shape —
+
+  * Pallas warp, MATMUL_PRECISION = DEFAULT   (the bench config)
+  * Pallas warp, MATMUL_PRECISION = HIGHEST   (bit-parity config)
+  * XLA gather warp                           (the reference semantics)
+
+— on the synthetic textured scene and reports depth-map / confidence
+deltas in mm (depth unit = mm, DTU range 425-935).  Asserts the pinned
+tolerances (documented next to MATMUL_PRECISION in
+ops/pallas/warp_correlate.py) and writes NUMERICS.json.
+
+Usage: python tools/numerics_check.py [--full] [--json=PATH]
+  --full uses the exact bench shape 864x1152 (slow first compile of the
+  HIGHEST/XLA variants through the remote-compile tunnel); default is
+  448x576, which exercises identical kernel code paths per VERDICT r2 #3.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Pinned tolerances (mm) for DEFAULT-vs-HIGHEST on the full model.
+# bf16 rounding perturbs O(1) correlations by ~1e-2 absolute; through
+# softmax + expectation over depth hypotheses this moves the regressed
+# depth by well under a stage-3 interval (2.66 mm at the DTU config).
+TOL_MEAN_MM = 0.2
+TOL_P99_MM = 2.0
+TOL_MAX_MM = 10.0
+TOL_CONF_MEAN = 5e-3
+
+
+def run_forward(height, width, precision, use_pallas):
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.ops.pallas import warp_correlate
+    from dmvsnet_tpu.utils import synthetic
+
+    warp_correlate.MATMUL_PRECISION = precision
+    model = MVSNet(
+        ndepths=(48, 32, 8), depth_interval_ratio=(4, 2, 1),
+        inverse_depth=True, use_pallas_warp=use_pallas,
+    )
+    batch = synthetic.make_batch(
+        batch=1, n_views=5, height=height, width=width, n_depths=192
+    )
+    imgs = jnp.asarray(batch["imgs"])
+    proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
+    dv = jnp.asarray(batch["depth_values"])
+    variables = model.init(jax.random.PRNGKey(0), imgs, proj, dv)
+
+    @jax.jit
+    def fwd(variables, imgs, proj, dv):
+        out = model.apply(variables, imgs, proj, dv, train=False)
+        return out["depth"], out["photometric_confidence"]
+
+    depth, conf = fwd(variables, imgs, proj, dv)
+    return np.asarray(depth, np.float64), np.asarray(conf, np.float64)
+
+
+def stats(a, b):
+    d = np.abs(a - b)
+    return {
+        "mean": float(d.mean()),
+        "p99": float(np.percentile(d, 99)),
+        "max": float(d.max()),
+    }
+
+
+def main():
+    full = "--full" in sys.argv
+    out_path = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--json=")),
+        "/root/repo/NUMERICS.json",
+    )
+    h, w = (864, 1152) if full else (448, 576)
+
+    d_hi, c_hi = run_forward(h, w, jax.lax.Precision.HIGHEST, True)
+    d_def, c_def = run_forward(h, w, jax.lax.Precision.DEFAULT, True)
+    d_xla, c_xla = run_forward(h, w, jax.lax.Precision.HIGHEST, False)
+
+    report = {
+        "platform": jax.devices()[0].platform,
+        "shape": [h, w],
+        "depth_default_vs_highest_mm": stats(d_def, d_hi),
+        "depth_pallas_vs_xla_mm": stats(d_hi, d_xla),
+        "conf_default_vs_highest": stats(c_def, c_hi),
+        "conf_pallas_vs_xla": stats(c_hi, c_xla),
+        "tol": {"mean_mm": TOL_MEAN_MM, "p99_mm": TOL_P99_MM,
+                "max_mm": TOL_MAX_MM, "conf_mean": TOL_CONF_MEAN},
+    }
+    print(json.dumps(report, indent=1))
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+
+    s = report["depth_default_vs_highest_mm"]
+    assert s["mean"] <= TOL_MEAN_MM, s
+    assert s["p99"] <= TOL_P99_MM, s
+    assert s["max"] <= TOL_MAX_MM, s
+    assert report["conf_default_vs_highest"]["mean"] <= TOL_CONF_MEAN
+    # the Pallas HIGHEST path must track the XLA reference semantics to
+    # fp32 round-off through the soft argmax (same tolerances apply with
+    # huge margin; asserted to catch kernel-geometry regressions)
+    s = report["depth_pallas_vs_xla_mm"]
+    assert s["mean"] <= TOL_MEAN_MM and s["max"] <= TOL_MAX_MM, s
+    print("numerics check OK")
+
+
+if __name__ == "__main__":
+    main()

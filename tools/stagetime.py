@@ -62,14 +62,23 @@ def time_amortized(fn, args, iters: int) -> float:
     return (time.perf_counter() - t0) / iters, compile_s
 
 
-def flops_of(fn, args) -> float:
+# v5e peaks for the roofline columns: 197 TF/s bf16 MXU, 819 GB/s HBM.
+# fp32 matmuls decompose into multiple bf16 passes, so fp32-heavy stages
+# cannot reach PEAK_TF — sol_pct is an upper-bound optimism for those.
+PEAK_TF = 197e12
+PEAK_BW = 819e9
+
+
+def costs_of(fn, args) -> tuple[float, float]:
+    """(flops, bytes_accessed) from XLA's cost model."""
     try:
         a = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(a, list):
             a = a[0]
-        return float(a.get("flops", float("nan")))
+        return (float(a.get("flops", float("nan"))),
+                float(a.get("bytes accessed", float("nan"))))
     except Exception:
-        return float("nan")
+        return float("nan"), float("nan")
 
 
 def prefix_main(iters: int):
@@ -152,13 +161,24 @@ def main():
     def add(name, fn, args, it=iters):
         if only and only not in name:
             return
-        fl = flops_of(fn, args)
+        fl, by = costs_of(fn, args)
         dt, compile_s = time_amortized(fn, args, it)
         tf = fl / dt / 1e12 if fl == fl else float("nan")
+        # roofline: the faster-of-two-limits time this stage COULD take,
+        # which limit binds, and how close the measurement is to it
+        t_mxu, t_hbm = fl / PEAK_TF, by / PEAK_BW
+        roof_s = max(t_mxu, t_hbm)
+        bound = "mxu" if t_mxu >= t_hbm else "hbm"
+        sol = roof_s / dt if roof_s == roof_s and dt > 0 else float("nan")
         entries.append({"name": name, "ms": round(dt * 1e3, 3),
-                        "flops": fl, "tflops_s": round(tf, 2)})
+                        "flops": fl, "tflops_s": round(tf, 2),
+                        "bytes": by, "gb_s": round(by / dt / 1e9, 1) if by == by else None,
+                        "bound": bound, "roofline_ms": round(roof_s * 1e3, 3),
+                        "sol_pct": round(sol * 100, 1) if sol == sol else None})
         print(f"{name:28s} {dt*1e3:9.3f} ms   {fl/1e9 if fl==fl else 0:9.2f} GF "
-              f"{tf:7.2f} TF/s   (compile {compile_s:.1f}s)", flush=True)
+              f"{tf:7.2f} TF/s  {by/1e9 if by==by else 0:7.2f} GB "
+              f"{bound}-bound {sol*100 if sol==sol else 0:5.1f}% SoL  "
+              f"(compile {compile_s:.1f}s)", flush=True)
 
     # --- FeatureNet ---
     imgs = jax.random.normal(key, (V, H, W, 3), jnp.float32)
