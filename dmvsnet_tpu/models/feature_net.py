@@ -15,12 +15,21 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dmvsnet_tpu.models import folded
 from dmvsnet_tpu.models.blocks import ConvBlock, PlainConv, upsample_nearest_2x
 
 
 class FeatureNet(nn.Module):
+    """The full-resolution level (conv0_* and the stage-3 FPN head) runs
+    in 2x2 folded space when H, W are even: the canonical layout's 8-16
+    channel full-res convs leave most MXU lanes idle (measured 2.9 TF/s,
+    STAGETIME.json r2); folding quadruples the operand widths with
+    identical parameters and numerics (models/folded.py).  The nearest-2x
+    FPN upsample becomes a free channel tile in folded space."""
+
     base_channels: int = 8
     dtype: Any = jnp.float32
+    fold_level0: bool = True  # A/B switch; params identical either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict[str, jnp.ndarray]:
@@ -29,11 +38,22 @@ class FeatureNet(nn.Module):
         conv = lambda f, k, s, name: ConvBlock(  # noqa: E731
             f, kernel=k, stride=s, dtype=self.dtype, name=name
         )
+        fconv = lambda f, k, s, name: folded.FoldedConvBlock(  # noqa: E731
+            f, d=1, kernel=k, stride=s, dims=2, dtype=self.dtype, name=name
+        )
+        use_fold = (
+            self.fold_level0 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
 
-        x0 = conv(c, 3, 1, "conv0_0")(x, train)
-        conv0 = conv(c, 3, 1, "conv0_1")(x0, train)
-
-        x1 = conv(c * 2, 5, 2, "conv1_0")(conv0, train)
+        if use_fold:
+            xf = folded.fold2d(x)
+            x0 = fconv(c, 3, 1, "conv0_0")(xf, train)
+            conv0 = fconv(c, 3, 1, "conv0_1")(x0, train)   # folded, 4c ch
+            x1 = fconv(c * 2, 5, 2, "conv1_0")(conv0, train)  # plain 1/2 res
+        else:
+            x0 = conv(c, 3, 1, "conv0_0")(x, train)
+            conv0 = conv(c, 3, 1, "conv0_1")(x0, train)
+            x1 = conv(c * 2, 5, 2, "conv1_0")(conv0, train)
         x1 = conv(c * 2, 3, 1, "conv1_1")(x1, train)
         conv1 = conv(c * 2, 3, 1, "conv1_2")(x1, train)
 
@@ -52,9 +72,22 @@ class FeatureNet(nn.Module):
         out = PlainConv(c * 4, kernel=3, use_bias=False, dtype=self.dtype, name="out2")(intra)
         outputs["stage2"], outputs["stage2_c"] = jnp.split(out, 2, axis=-1)
 
-        intra = upsample_nearest_2x(intra) + PlainConv(
-            c * 4, kernel=1, use_bias=True, dtype=self.dtype, name="inner2"
-        )(conv0)
-        out = PlainConv(c * 2, kernel=3, use_bias=False, dtype=self.dtype, name="out3")(intra)
+        if use_fold:
+            # nearest-2x upsample == tiling the half-res pixel across the
+            # 4 fold phases (phase-major layout)
+            intra_f = jnp.tile(intra, (1, 1, 1, 4)) + folded.FoldedPlainConv(
+                c * 4, d=1, kernel=1, dims=2, use_bias=True,
+                dtype=self.dtype, name="inner2",
+            )(conv0)
+            outf = folded.FoldedPlainConv(
+                c * 2, d=1, kernel=3, dims=2, use_bias=False,
+                dtype=self.dtype, name="out3",
+            )(intra_f)
+            out = folded.unfold2d(outf, c * 2)
+        else:
+            intra = upsample_nearest_2x(intra) + PlainConv(
+                c * 4, kernel=1, use_bias=True, dtype=self.dtype, name="inner2"
+            )(conv0)
+            out = PlainConv(c * 2, kernel=3, use_bias=False, dtype=self.dtype, name="out3")(intra)
         outputs["stage3"], outputs["stage3_c"] = jnp.split(out, 2, axis=-1)
         return outputs

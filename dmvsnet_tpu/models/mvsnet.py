@@ -120,6 +120,13 @@ class MVSNet(nn.Module):
                 )
                 samples = sampling.upsample_depth_samples(samples, sh, sw)
 
+            vp_size = (
+                self.mesh.shape[mesh_lib.AXIS_VIEW]
+                if self.mesh is not None
+                and mesh_lib.AXIS_VIEW in getattr(self.mesh, "axis_names", ())
+                else 0
+            )
+
             def cost_pass(key_suffix: str, dv: jnp.ndarray) -> jnp.ndarray:
                 views = [feats[stage + key_suffix][:, i] for i in range(v)]
                 if self.agg_mode == "adaptive":
@@ -129,6 +136,13 @@ class MVSNet(nn.Module):
                     cost = warp_ops.aggregate_cost_volume_adaptive(
                         views, proj2, dv,
                         lambda sim: weight_net(sim.astype(self.dtype), train),
+                    )
+                elif vp_size > 1 and (v - 1) % vp_size == 0:
+                    # source views sharded over the vp mesh axis; one psum
+                    # yields the replicated cost volume (SURVEY §2.8)
+                    cost = warp_ops.aggregate_cost_volume_view_sharded(
+                        views, proj2, dv, self.mesh,
+                        use_pallas=self.use_pallas_warp,
                     )
                 elif self.use_pallas_warp:
                     from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_pallas

@@ -204,6 +204,87 @@ def aggregate_cost_volume(
     return similarity
 
 
+def aggregate_cost_volume_view_sharded(
+    features: list[jnp.ndarray],
+    proj2: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    mesh,
+    groups: int = 2,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """aggregate_cost_volume with the V-1 source views SHARDED over the
+    mesh's "vp" axis (SURVEY §2.8 long-axis north star).
+
+    Each vp shard warps + correlates its local subset of source views
+    (Pallas kernel or XLA gather path) and one ``psum`` over vp produces
+    the replicated 2-channel cost volume.  The view sum of reference
+    networks/mvsnet.py:142-146 is associative, so this reproduces the
+    serial result up to fp reassociation (parity-tested on the virtual
+    mesh, tests/test_sharding.py).
+
+    Args:
+      features: per-view [(B, H, W, C)], index 0 = reference view.
+      proj2: (B, V, 2, 4, 4); depth_values: (B, D) or (B, D, H, W).
+      mesh: a Mesh with a "vp" axis whose size divides V-1.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from dmvsnet_tpu.parallel.mesh import AXIS_VIEW
+
+    v1 = len(features) - 1
+    vp = mesh.shape[AXIS_VIEW]
+    if v1 % vp:
+        raise ValueError(f"vp={vp} must divide the {v1} source views")
+    b, h, w, _ = features[0].shape
+    ref = features[0]
+    src = jnp.stack(features[1:], 0)  # (V1, B, H, W, C)
+    fused = geometry.fuse_projection(proj2)
+    rel = jnp.stack(
+        [geometry.relative_projection(fused[:, v], fused[:, 0])
+         for v in range(1, v1 + 1)], 0,
+    )  # (V1, B, 4, 4)
+    if depth_values.ndim == 2:
+        dv = jnp.broadcast_to(
+            depth_values[:, :, None, None], (b, depth_values.shape[1], h, w)
+        )
+    else:
+        dv = depth_values
+
+    def body(src_s, rel_s, ref, dv):
+        total = None
+        for i in range(v1 // vp):
+            if use_pallas:
+                from dmvsnet_tpu.ops.pallas.warp_correlate import (
+                    plane_sweep_corr_view,
+                )
+
+                corr = jnp.stack([
+                    plane_sweep_corr_view(
+                        src_s[i, bi], ref[bi], rel_s[i, bi], dv[bi],
+                        interpret=interpret,
+                    )
+                    for bi in range(b)
+                ])
+            else:
+                px, py = geometry.plane_sweep_coords(rel_s[i], dv, h, w)
+                px = jax.lax.stop_gradient(px)
+                py = jax.lax.stop_gradient(py)
+                warped = jax.vmap(bilinear_sample)(src_s[i], px, py)
+                corr = group_correlation(warped, ref, groups)
+            corr = corr.astype(jnp.float32)
+            total = corr if total is None else total + corr
+        return jax.lax.psum(total, AXIS_VIEW)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS_VIEW), P(AXIS_VIEW), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(src, rel, ref, dv)
+
+
 def aggregate_cost_volume_adaptive(
     features: list[jnp.ndarray],
     proj2: jnp.ndarray,

@@ -27,23 +27,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS_DATA = "dp"
 AXIS_SPATIAL = "sp"
+AXIS_VIEW = "vp"
 
 
-def make_mesh(n_data: int | None = None, n_spatial: int = 1, devices=None) -> Mesh:
-    """A (dp, sp) mesh over the available devices.
+def make_mesh(
+    n_data: int | None = None, n_spatial: int = 1, n_view: int = 1, devices=None
+) -> Mesh:
+    """A (dp[, vp], sp) mesh over the available devices.
 
     Args:
-      n_data: size of the data axis; defaults to n_devices // n_spatial.
+      n_data: size of the data axis; defaults to the remaining devices.
       n_spatial: size of the spatial axis.
+      n_view: size of the source-view axis (cost-volume correlations are
+        summed over V-1 source views; vp shards that sum, SURVEY §2.8).
+        The vp axis only exists when n_view > 1 so 2-axis callers are
+        unaffected.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_spatial
-    if n_data * n_spatial > len(devices):
+        n_data = len(devices) // (n_spatial * n_view)
+    total = n_data * n_spatial * n_view
+    if total > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_spatial} needs more than {len(devices)} devices"
+            f"mesh {n_data}x{n_view}x{n_spatial} needs more than "
+            f"{len(devices)} devices"
         )
-    grid = devices[: n_data * n_spatial].reshape(n_data, n_spatial)
+    if n_view > 1:
+        grid = devices[:total].reshape(n_data, n_view, n_spatial)
+        return Mesh(grid, (AXIS_DATA, AXIS_VIEW, AXIS_SPATIAL))
+    grid = devices[:total].reshape(n_data, n_spatial)
     return Mesh(grid, (AXIS_DATA, AXIS_SPATIAL))
 
 
