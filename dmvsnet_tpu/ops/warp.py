@@ -228,8 +228,9 @@ def aggregate_cost_volume_view_sharded(
       proj2: (B, V, 2, 4, 4); depth_values: (B, D) or (B, D, H, W).
       mesh: a Mesh with a "vp" axis whose size divides V-1.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     from dmvsnet_tpu.parallel.mesh import AXIS_VIEW
 

@@ -29,7 +29,7 @@ from dmvsnet_tpu.fusion.dtu_eval import eval_scan
 from dmvsnet_tpu.fusion.ply import read_ply
 from dmvsnet_tpu.utils import synthetic
 
-H, W, VIEWS, PLANE_Z = 128, 160, 4, 600.0
+H, W, VIEWS, PLANE_Z = 96, 128, 4, 600.0
 
 
 def _cfg(datapath, outdir, listfile, resume=""):
@@ -85,7 +85,7 @@ def test_geometry_gate_overfit_fuse_eval(tmp_path):
     state = create_train_state(model, jax.random.PRNGKey(0), batch, lr)
     step = make_train_step(tuple(cfg.dlossw), cfg.depth_mode, lr)
     scalars = {}
-    for _ in range(120):
+    for _ in range(80):
         state, scalars, _aux = step(state, batch)
     # the net must have actually learned the scene, otherwise the bound
     # below would grade fusion's rejection power instead of the chain
