@@ -282,7 +282,7 @@ def aggregate_cost_volume_view_sharded(
         body, mesh=mesh,
         in_specs=(P(AXIS_VIEW), P(AXIS_VIEW), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,  # pallas_call inside can't annotate varying axes
     )(src, rel, ref, dv)
 
 
