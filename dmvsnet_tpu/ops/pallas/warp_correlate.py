@@ -66,6 +66,11 @@ MIN_ROWS = 16  # min source rows per window (incl. margin for PD-groups).
 # every channel width: 8-row tiles at scale<=~1 + rotation tilt + the
 # PD-group plane drift + 2 taps.  Safe to tune down: _span_ok routes any
 # geometry that doesn't fit to the exact XLA fallback path.
+MIN_ROWS_FAST = 12  # narrow-rows tier: cuts one whole (128, cwin)@(cwin, P)
+# matmul per plane at c=32 (q 5 -> 4); DTU-eval geometries fit it at every
+# stage (tools span analysis r3), and _span_ok tiering falls back to the
+# 16-row kernel (then wide, then XLA) when they don't.  The PACKED source
+# layout always uses the MIN_ROWS q so every tier shares one packing.
 PD = 4        # depth planes per kernel instance sharing one window DMA
 # (adjacent plane-sweep hypotheses shift the projection by only a few
 # pixels, so a group of PD planes shares a window with a small margin)
@@ -77,17 +82,18 @@ PD = 4        # depth planes per kernel instance sharing one window DMA
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _row_group(c: int) -> tuple[int, int]:
+def _row_group(c: int, min_rows: int | None = None) -> tuple[int, int]:
     """(G rows packed per 128-sublane slot, q packed blocks per window)."""
     if 128 % c:
         raise ValueError(f"channel count {c} must divide 128")
     g = 128 // c
-    q = (MIN_ROWS + g - 1) // g + 1  # +1 block pays for rb alignment loss
+    mr = MIN_ROWS if min_rows is None else min_rows
+    q = (mr + g - 1) // g + 1  # +1 block pays for rb alignment loss
     return g, q
 
 
-def _make_kernel(c: int, pd: int, cwin: int):
-    g, q = _row_group(c)
+def _make_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
+    g, q = _row_group(c, min_rows)
     p = BR * BL
 
     def kernel(orig_ref, coord_ref, src_hbm, ref_ref, out_ref, win_ref, sem):
@@ -142,7 +148,7 @@ def _make_kernel(c: int, pd: int, cwin: int):
     return kernel
 
 
-def _make_grad_ref_kernel(c: int, pd: int, cwin: int):
+def _make_grad_ref_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
     """Adjoint wrt the tiled reference: for one (i, j) tile, accumulate
     sum_d cot[d,g(s),p] * res[d,s,p] * wy[d,s,p] / half over all depth
     groups (dg is the INNERMOST grid axis so the output block stays
@@ -199,12 +205,12 @@ def _make_grad_ref_kernel(c: int, pd: int, cwin: int):
     return kernel
 
 
-def _make_grad_src_kernel(c: int, pd: int, cwin: int):
+def _make_grad_src_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
     """Adjoint wrt the packed source: per (dg, i, j) instance, the window
     gradient is cot_res @ Rx^T (lanes-contraction dot), read-modify-
     written into the HBM grad buffer.  Correct because the TPU grid
     executes sequentially and the write is awaited inside the body."""
-    g, q = _row_group(c)
+    g, q = _row_group(c, min_rows)
     p = BR * BL
 
     def kernel(orig_ref, coord_ref, cot_ref, ref_ref, z_ref, out_hbm,
@@ -272,14 +278,19 @@ def _tile_lanes(a: jnp.ndarray, nh: int, nw: int):
     return a.reshape(*lead, nh, nw, BR * BL)
 
 
-def _prep(src_feat, rel_proj, depth_values, cwin):
+def _prep(src_feat, rel_proj, depth_values, cwin, min_rows=None):
     """Shared forward/backward preamble: padded sizes, per-tile coords,
-    window origins, and the row-packed transposed source."""
+    window origins, and the row-packed transposed source.
+
+    The packed layout / padded sizes always use the MIN_ROWS q (so every
+    row tier shares one packing); only the window origin clip uses the
+    tier's (smaller) q."""
     h, w, c = src_feat.shape
-    g, q = _row_group(c)
+    g, q_pack = _row_group(c)
+    g, q = _row_group(c, min_rows)
     dpl = depth_values.shape[0]
     wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
-    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
+    hp = _round_up(max(h, (q_pack + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
     p = BR * BL
 
@@ -343,7 +354,7 @@ def _prep(src_feat, rel_proj, depth_values, cwin):
 
 def _span_ok(
     rel_proj: jnp.ndarray, depth_values: jnp.ndarray, h: int, w: int, c: int,
-    cwin: int = C_WIN,
+    cwin: int = C_WIN, min_rows: int | None = None,
 ) -> jnp.ndarray:
     """True iff every tile's projected taps fit its kernel window.
 
@@ -355,10 +366,11 @@ def _span_ok(
     zero padding, so they impose no constraint.  Cheap: two reduces over
     the coordinate grids, no tiling transposes.
     """
-    g, q = _row_group(c)
+    g, q_pack = _row_group(c)
+    g, q = _row_group(c, min_rows)
     dpl = depth_values.shape[0]
     wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
-    hp = _round_up(max(h, (q + 1) * g), max(BR, g))
+    hp = _round_up(max(h, (q_pack + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
     px, py = geometry.plane_sweep_coords(
         rel_proj[None], depth_values[None], h, w
@@ -417,6 +429,7 @@ def _corr_view_tiled(
     depth_values: jnp.ndarray,
     interpret: bool,
     cwin: int = C_WIN,
+    min_rows: int | None = None,
 ) -> jnp.ndarray:
     """One view's correlation in the TILED output layout (D, nh, 2nw, P).
 
@@ -424,12 +437,14 @@ def _corr_view_tiled(
     aggregating several views share it and untile the SUM once.
     """
     h, w, c = src_feat.shape
-    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values, cwin)
+    origin, coords, src_t, dims = _prep(
+        src_feat, rel_proj, depth_values, cwin, min_rows
+    )
     g, q, dpl, wp, hp, nh, nw, pd, _ = dims
     p = BR * BL
 
     grid = (dpl // pd, nh, nw)
-    kernel = _make_kernel(c, pd, cwin)
+    kernel = _make_kernel(c, pd, cwin, min_rows)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -462,32 +477,38 @@ def _corr_view_tiled(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _corr_view_tiled_diff(interpret, cwin, src_feat, ref_t, rel_proj, depth_values):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _corr_view_tiled_diff(interpret, cwin, min_rows, src_feat, ref_t, rel_proj, depth_values):
     """_corr_view_tiled with a hand-written VJP: adjoint Pallas kernels
     for the source (transposed band matmul, sequentially accumulated into
     HBM windows) and the tiled reference (block-revisited accumulation
     over depth groups).  Projections and depth hypotheses get ZERO
     cotangents — the sampling grid carries no gradient, matching the XLA
     path's stop_gradient (reference networks/module.py:222)."""
-    return _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret, cwin)
+    return _corr_view_tiled(
+        src_feat, ref_t, rel_proj, depth_values, interpret, cwin, min_rows
+    )
 
 
-def _corr_view_tiled_fwd(interpret, cwin, src_feat, ref_t, rel_proj, depth_values):
-    out = _corr_view_tiled(src_feat, ref_t, rel_proj, depth_values, interpret, cwin)
+def _corr_view_tiled_fwd(interpret, cwin, min_rows, src_feat, ref_t, rel_proj, depth_values):
+    out = _corr_view_tiled(
+        src_feat, ref_t, rel_proj, depth_values, interpret, cwin, min_rows
+    )
     return out, (src_feat, ref_t, rel_proj, depth_values)
 
 
-def _corr_view_tiled_bwd(interpret, cwin, residuals, cot):
+def _corr_view_tiled_bwd(interpret, cwin, min_rows, residuals, cot):
     src_feat, ref_t, rel_proj, depth_values = residuals
     h, w, c = src_feat.shape
-    origin, coords, src_t, dims = _prep(src_feat, rel_proj, depth_values, cwin)
+    origin, coords, src_t, dims = _prep(
+        src_feat, rel_proj, depth_values, cwin, min_rows
+    )
     g, q, dpl, wp, hp, nh, nw, pd, perm = dims
     p = BR * BL
     cot = cot.astype(jnp.float32)
 
     grad_ref_t = pl.pallas_call(
-        _make_grad_ref_kernel(c, pd, cwin),
+        _make_grad_ref_kernel(c, pd, cwin, min_rows),
         grid=(nh, nw, dpl // pd),
         in_specs=[
             pl.BlockSpec(
@@ -510,7 +531,7 @@ def _corr_view_tiled_bwd(interpret, cwin, residuals, cot):
     )(origin, coords, cot, src_t)
 
     grad_src_t = pl.pallas_call(
-        _make_grad_src_kernel(c, pd, cwin),
+        _make_grad_src_kernel(c, pd, cwin, min_rows),
         grid=(dpl // pd, nh, nw),
         in_specs=[
             pl.BlockSpec(
@@ -570,17 +591,29 @@ def _corr_view_tiled_safe(
     wp = max(_round_up(w, BL), C_WIN)  # >= C_WIN so window slices stay in-bounds
     hp = _round_up(max(h, (q + 1) * g), max(BR, g))
     nh, nw = hp // BR, wp // BL
+    # the narrow-rows tier only differs from the 16-row one when it drops
+    # a whole window block (q shrinks) — skip the extra branch otherwise
+    row_tiered = _row_group(c, MIN_ROWS_FAST)[1] < q
+    ok_fast12 = _span_ok(
+        rel_proj, depth_values, h, w, c, C_WIN_FAST, MIN_ROWS_FAST
+    ) if row_tiered else jnp.bool_(False)
     ok_fast = _span_ok(rel_proj, depth_values, h, w, c, C_WIN_FAST)
     ok = _span_ok(rel_proj, depth_values, h, w, c, C_WIN)
 
+    def pallas_fast12():
+        return _corr_view_tiled_diff(
+            interpret, C_WIN_FAST, MIN_ROWS_FAST,
+            src_feat, ref_t, rel_proj, depth_values
+        )
+
     def pallas_fast():
         return _corr_view_tiled_diff(
-            interpret, C_WIN_FAST, src_feat, ref_t, rel_proj, depth_values
+            interpret, C_WIN_FAST, None, src_feat, ref_t, rel_proj, depth_values
         )
 
     def pallas_wide():
         return _corr_view_tiled_diff(
-            interpret, C_WIN, src_feat, ref_t, rel_proj, depth_values
+            interpret, C_WIN, None, src_feat, ref_t, rel_proj, depth_values
         )
 
     def xla_branch():
@@ -596,7 +629,12 @@ def _corr_view_tiled_safe(
     def wide_or_xla():
         return jax.lax.cond(ok, pallas_wide, xla_branch)
 
-    return jax.lax.cond(ok_fast, pallas_fast, wide_or_xla)
+    def fast_or_below():
+        return jax.lax.cond(ok_fast, pallas_fast, wide_or_xla)
+
+    if not row_tiered:
+        return fast_or_below()
+    return jax.lax.cond(ok_fast12, pallas_fast12, fast_or_below)
 
 
 def _tile_ref(ref_feat: jnp.ndarray) -> jnp.ndarray:
