@@ -7,8 +7,9 @@ and prints ONE JSON line:
   {"metric": "dtu_depth_maps_per_s", "value": N, "unit": "maps/s",
    "vs_baseline": N}
 
-Flags: --no-pallas (XLA gather warp), --exact (bit-exact fp32 MXU
-matmuls in the Pallas kernel), --bf16, --iters=N.
+Flags: --no-pallas (XLA gather warp), --epipolar (rectified 1-D sweeps
+where valid), --exact (bit-exact fp32 MXU matmuls in the Pallas kernel),
+--bf16, --iters=N, --train (training-step benchmark).
 
 Timing methodology: K full forwards run inside ONE jit dispatch (a
 lax.fori_loop whose carry perturbs the input so no iteration can be
@@ -57,13 +58,13 @@ TRAIN_HEIGHT, TRAIN_WIDTH = 512, 640  # reference scripts/train.sh
 
 
 def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
-          use_pallas=False):
+          use_pallas=False, use_epipolar=False):
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
-        dtype=dtype, use_pallas_warp=use_pallas,
+        dtype=dtype, use_pallas_warp=use_pallas, use_epipolar_warp=use_epipolar,
     )
     batch = synthetic.make_batch(
         batch=1, n_views=views, height=height, width=width, n_depths=192
@@ -189,7 +190,8 @@ def main():
         bench_train(dtype, use_pallas, iters)
         return
 
-    forward, args = build(dtype=dtype, use_pallas=use_pallas)
+    forward, args = build(dtype=dtype, use_pallas=use_pallas,
+                          use_epipolar="--epipolar" in sys.argv)
     fl = flops_of(forward, args)
     dt = time_amortized(forward, args, iters)
     maps_per_s = 1.0 / dt

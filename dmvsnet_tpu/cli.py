@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interval_ratio", type=float, nargs="+", default=None)
     p.add_argument("--inverse_depth", action="store_true", default=None)
     p.add_argument("--compute_dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--warp_impl", default=None,
+                   choices=["auto", "pallas", "epipolar", "xla"])
 
     # dataset
     p.add_argument("--datapath", default=None)

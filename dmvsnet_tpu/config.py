@@ -20,6 +20,10 @@ class Config:
     interval_ratio: Sequence[float] = (4.0, 2.0, 1.0)
     inverse_depth: bool = False
     compute_dtype: str = "float32"  # "bfloat16" for MXU-rate convs
+    # cost-volume warp implementation: "auto" = Pallas kernel on TPU,
+    # XLA gather elsewhere; "epipolar" adds eval-time rectified 1-D
+    # sweeps on top of the Pallas path (approximate, gated per view)
+    warp_impl: str = "auto"  # auto | pallas | epipolar | xla
 
     # dataset (main.py:16-26)
     datapath: str = ""

@@ -52,11 +52,18 @@ def build_model(cfg: Config, mesh=None) -> MVSNet:
             "reference networks/module.py:277)"
         )
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+    impl = cfg.warp_impl
+    if impl == "auto":
+        # the Pallas kernel needs real TPU hardware; interpret mode on
+        # CPU would be slower than the XLA gather path
+        impl = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
     return MVSNet(
         ndepths=tuple(cfg.ndepths),
         depth_interval_ratio=tuple(cfg.interval_ratio),
         inverse_depth=cfg.inverse_depth,
         dtype=dtype,
+        use_pallas_warp=impl in ("pallas", "epipolar"),
+        use_epipolar_warp=impl == "epipolar",
         mesh=mesh,
     )
 

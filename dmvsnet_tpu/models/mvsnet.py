@@ -53,6 +53,12 @@ class MVSNet(nn.Module):
     # kernel has a custom VJP (adjoint Pallas kernels, gradient-parity
     # tested against the XLA path).
     use_pallas_warp: bool = False
+    # EVAL-ONLY: epipolar-rectified 1-D sweeps where the pair geometry
+    # admits them (ops/pallas/epipolar_sweep.py) — cuts the per-plane
+    # band-matmul count ~2-3x at stages 1-2; per-(view, stage) validity
+    # falls back to the 2-D kernel.  Approximate (two extra resamples);
+    # ignored under train=True (no VJP on this path).
+    use_epipolar_warp: bool = False
     dtype: Any = jnp.float32
     # Optional jax.sharding.Mesh with (dp, sp) axes: batch over dp, the
     # image-height axis of cost volumes over sp (GSPMD halo-exchanges the
@@ -144,6 +150,12 @@ class MVSNet(nn.Module):
                         views, proj2, dv, self.mesh,
                         use_pallas=self.use_pallas_warp,
                     )
+                elif self.use_epipolar_warp and not train:
+                    from dmvsnet_tpu.ops.pallas.epipolar_sweep import (
+                        aggregate_cost_volume_epipolar,
+                    )
+
+                    cost = aggregate_cost_volume_epipolar(views, proj2, dv)
                 elif self.use_pallas_warp:
                     from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_pallas
 

@@ -1,0 +1,141 @@
+"""Pallas epipolar 1-D sweep kernels vs the jnp reference (interpret
+mode — CPU; the compiled path is exercised on real TPU by the bench).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmvsnet_tpu.core import epipolar, geometry
+from dmvsnet_tpu.ops import warp as warp_ops
+from dmvsnet_tpu.ops.pallas import warp_correlate
+from dmvsnet_tpu.ops.pallas.epipolar_sweep import (
+    aggregate_cost_volume_epipolar,
+    epipolar_corr_view,
+    resample_tiled,
+)
+from dmvsnet_tpu.utils import synthetic
+
+H, W = 32, 64
+
+
+def _smooth(a, k=3):
+    for _ in range(k):
+        a = 0.25 * (np.roll(a, 1, 0) + np.roll(a, -1, 0)
+                    + np.roll(a, 1, 1) + np.roll(a, -1, 1))
+    return a
+
+
+def _feats(c, n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return [jnp.asarray(_smooth(rng.normal(size=(H, W, c))).astype(np.float32))
+            for _ in range(n)]
+
+
+def _cams(angle=0.0, baseline=80.0):
+    cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2,
+                               tx=-baseline, angle=angle),
+    ])
+    fused = geometry.fuse_projection(jnp.asarray(cams))
+    return geometry.relative_projection(fused[1][None], fused[0][None])[0]
+
+
+def _inv_fan(dpl, dmin=450.0, dmax=800.0):
+    inv_lo = jnp.full((H, W), 1.0 / dmin)
+    inv_step = jnp.full((H, W), (1.0 / dmax - 1.0 / dmin) / (dpl - 1))
+    ds = jnp.arange(dpl, dtype=jnp.float32)
+    depths = 1.0 / (inv_lo[None] + ds[:, None, None] * inv_step[None])
+    return inv_lo, inv_step, depths
+
+
+def test_resample_kernel_matches_bilinear():
+    """The generic resample kernel == ops.warp.bilinear_sample, incl.
+    zero padding, on an arbitrary smooth homography warp."""
+    (img,) = _feats(16, n=1)
+    rel = _cams(angle=0.07)
+    rect = epipolar.compute_rectification(rel, H, W)
+    px, py = epipolar.rect_grid_coords(rect.h_src, H, W)
+    want = warp_ops.bilinear_sample(img, px, py)
+    got = resample_tiled(img, px, py, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("c,dpl", [(16, 8), (32, 8)])
+def test_epipolar_view_matches_jnp_reference(c, dpl):
+    """Kernel pipeline == the pure-jnp rectified sweep (same algorithm:
+    rectify, 1-D lerp, correlate, un-rectify) for a rotated pair."""
+    feats = _feats(c)
+    rel = _cams(angle=0.05)
+    inv_lo, inv_step, depths = _inv_fan(dpl)
+
+    want = epipolar.rectified_sweep_corr_jnp(
+        feats[1], feats[0], rel, inv_lo, inv_step, dpl
+    )
+    ref_t = warp_correlate._tile_ref(feats[0])
+    got = epipolar_corr_view(
+        feats[1], feats[0], ref_t, rel, depths, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_epipolar_exact_for_pure_translation():
+    """Pure translation: the epipolar aggregation == the 2-D kernel
+    aggregation == the XLA path, exactly."""
+    feats = [f[None] for f in _feats(16, n=3)]
+    cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2,
+                               tx=-80.0 * i) for i in range(3)
+    ])
+    proj2 = jnp.asarray(cams)[None]
+    _, _, depths = _inv_fan(8)
+    dv = depths[None]
+
+    want = warp_ops.aggregate_cost_volume(feats, proj2, dv)
+    got = aggregate_cost_volume_epipolar(feats, proj2, dv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_epipolar_falls_back_on_adversarial_geometry():
+    """Epipole inside the image (forward motion): validity gating must
+    route to the 2-D kernel path and match the XLA result exactly."""
+    feats = [f[None] for f in _feats(16, n=2)]
+    cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+    ])
+    cams[1, 0, :3, 3] = [0.5, 0.3, -40.0]  # mostly-forward motion
+    proj2 = jnp.asarray(cams)[None]
+    _, _, depths = _inv_fan(8)
+    dv = depths[None]
+
+    want = warp_ops.aggregate_cost_volume(feats, proj2, dv)
+    got = aggregate_cost_volume_epipolar(feats, proj2, dv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_epipolar_unsupported_channels_fall_back():
+    """c=8 (G=16 > BR): the 1-D sweep's static-row packing doesn't apply;
+    the view must route to the 2-D kernel and match XLA exactly."""
+    feats = [f[None] for f in _feats(8, n=2)]
+    rel_cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2,
+                               tx=-80.0, angle=0.05),
+    ])
+    proj2 = jnp.asarray(rel_cams)[None]
+    _, _, depths = _inv_fan(8)
+    dv = depths[None]
+
+    want = warp_ops.aggregate_cost_volume(feats, proj2, dv)
+    got = aggregate_cost_volume_epipolar(feats, proj2, dv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
