@@ -180,7 +180,7 @@ def main():
               f"{bound}-bound {sol*100 if sol==sol else 0:5.1f}% SoL  "
               f"(compile {compile_s:.1f}s)", flush=True)
 
-    # --- FeatureNet ---
+    # --- FeatureNet (folded level-0 default; unfolded for attribution) ---
     imgs = jax.random.normal(key, (V, H, W, 3), jnp.float32)
     fnet = FeatureNet(8)
     fvars = fnet.init(key, imgs[:1])
@@ -189,6 +189,12 @@ def main():
         return fnet.apply(fvars, imgs)
 
     add("feature_net(5 views)", feat_fn, (imgs,))
+    fnet_u = FeatureNet(8, fold_level0=False)
+
+    def feat_fn_u(imgs):
+        return fnet_u.apply(fvars, imgs)
+
+    add("feature_net_unfolded", feat_fn_u, (imgs,), it=max(2, iters // 2))
 
     # --- per-stage pieces ---
     depth_interval = (dv[0, -1] - dv[0, 0]) / dv.shape[1]
@@ -241,6 +247,17 @@ def main():
             return reg.apply(rv, cost)
 
         add(f"costreg_{stage} D={d}", reg_fn, (cost,))
+        if s == 2:  # folded-path attribution at the stage it activates
+            from dmvsnet_tpu.models.cost_reg import CostRegNetPart
+
+            part_u = CostRegNetPart(8, fold_level0=False)
+            part_f = CostRegNetPart(8, fold_level0=True)
+            pv = part_u.init(key, cost)
+            add(f"costreg_part_unfolded_{stage}",
+                lambda c, pv=pv, m=part_u: m.apply(pv, c), (cost,),
+                it=max(2, iters // 2))
+            add(f"costreg_part_folded_{stage}",
+                lambda c, pv=pv, m=part_f: m.apply(pv, c), (cost,))
 
         cost4 = jax.random.normal(key, (1, 4, sh, sw, 2), jnp.float32)
         regr = CostRegNetRefine(8)
