@@ -52,6 +52,10 @@ from dmvsnet_tpu.ops.pallas.warp_correlate import (
 SCALE_MIN, SCALE_MAX = 0.5, 2.0
 EPIPOLE_MARGIN = 1.2  # min epipole distance in image diagonals
 
+# interpret-mode default for calls that don't pass `interpret` (the model
+# path): lets CPU tests drive the full cascade through these kernels.
+INTERPRET = False
+
 
 # ---------------------------------------------------------------------------
 # generic tiled bilinear resample kernel (one "plane": depth-independent)
@@ -486,7 +490,7 @@ def aggregate_cost_volume_epipolar(
     features: list[jnp.ndarray],
     proj2: jnp.ndarray,
     depth_values: jnp.ndarray,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for aggregate_cost_volume_pallas using the rectified 1-D
     sweep where valid, the exact 2-D kernel where not (per view).
@@ -494,6 +498,8 @@ def aggregate_cost_volume_epipolar(
     Eval-time only: no custom VJP on this path (training keeps the 2-D
     kernel, whose adjoints are hand-written and parity-tested).
     """
+    if interpret is None:
+        interpret = INTERPRET
     b = features[0].shape[0]
     h, w = features[0].shape[1:3]
     if depth_values.ndim == 2:

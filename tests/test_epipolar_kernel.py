@@ -139,3 +139,43 @@ def test_epipolar_unsupported_channels_fall_back():
     got = aggregate_cost_volume_epipolar(feats, proj2, dv, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_epipolar_depth_close_to_exact():
+    """THE accuracy gate for the approximation: the full cascade with
+    use_epipolar_warp on a textured synthetic scene must produce depth
+    maps within a fraction of the stage-3 interval of the exact path
+    (checkerboard blending and the extra resamples included)."""
+    import dmvsnet_tpu.ops.pallas.epipolar_sweep as es
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.utils import synthetic as syn
+
+    h, w, v = 64, 96, 3
+    imgs, cams, _ = syn.render_plane_views(h, w, v, depth=600.0,
+                                           baseline=100.0)
+    proj = {k: jnp.asarray(np.broadcast_to(p, (1, *p.shape)).copy())
+            for k, p in syn.stage_projections(cams).items()}
+    imgs_j = jnp.asarray(imgs)[None]
+    dv = jnp.asarray(np.linspace(425.0, 935.0, 48, dtype=np.float32))[None]
+
+    exact = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1),
+                   inverse_depth=True)
+    variables = exact.init(jax.random.PRNGKey(0), imgs_j, proj, dv)
+    out_exact = exact.apply(variables, imgs_j, proj, dv, train=False)
+
+    epi = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1),
+                 inverse_depth=True, use_epipolar_warp=True)
+    old = es.INTERPRET
+    es.INTERPRET = True
+    try:
+        out_epi = epi.apply(variables, imgs_j, proj, dv, train=False)
+    finally:
+        es.INTERPRET = old
+
+    d_e = np.asarray(out_exact["depth"])[0]
+    d_a = np.asarray(out_epi["depth"])[0]
+    inner = (slice(8, h - 8), slice(12, w - 12))
+    diff = np.abs(d_e[inner] - d_a[inner])
+    # stage-3 interval here = (935-425)/48 ~ 10.6 mm
+    assert np.mean(diff) < 2.0, float(np.mean(diff))
+    assert np.percentile(diff, 95) < 8.0, float(np.percentile(diff, 95))
