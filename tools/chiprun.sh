@@ -10,7 +10,7 @@ cd /root/repo
   echo "=== 2. stagetime (roofline columns; folded convs live) ==="
   timeout 3600 python tools/stagetime.py --iters=12
   echo "=== 3. numerics check (DEFAULT vs HIGHEST vs XLA) ==="
-  timeout 5400 python tools/numerics_check.py
+  timeout 7200 python tools/numerics_check.py --epipolar
   echo "=== 4. bench default ==="
   timeout 3600 python bench.py --iters=8
   echo "=== 5. bench epipolar ==="

@@ -42,7 +42,7 @@ TOL_MAX_MM = 10.0
 TOL_CONF_MEAN = 5e-3
 
 
-def run_forward(height, width, precision, use_pallas):
+def run_forward(height, width, precision, use_pallas, use_epipolar=False):
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.ops.pallas import warp_correlate
     from dmvsnet_tpu.utils import synthetic
@@ -51,6 +51,7 @@ def run_forward(height, width, precision, use_pallas):
     model = MVSNet(
         ndepths=(48, 32, 8), depth_interval_ratio=(4, 2, 1),
         inverse_depth=True, use_pallas_warp=use_pallas,
+        use_epipolar_warp=use_epipolar,
     )
     batch = synthetic.make_batch(
         batch=1, n_views=5, height=height, width=width, n_depths=192
@@ -100,6 +101,14 @@ def main():
         "tol": {"mean_mm": TOL_MEAN_MM, "p99_mm": TOL_P99_MM,
                 "max_mm": TOL_MAX_MM, "conf_mean": TOL_CONF_MEAN},
     }
+    if "--epipolar" in sys.argv:
+        # the APPROXIMATE eval path (rectified 1-D sweeps): reported at
+        # full model scale; gated loosely (mean only) — its quality bar
+        # is the synthetic-scene gate in tests/test_epipolar_kernel.py
+        d_epi, c_epi = run_forward(h, w, jax.lax.Precision.DEFAULT, True,
+                                   use_epipolar=True)
+        report["depth_epipolar_vs_default_mm"] = stats(d_epi, d_def)
+        report["conf_epipolar_vs_default"] = stats(c_epi, c_def)
     print(json.dumps(report, indent=1))
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
