@@ -232,6 +232,14 @@ def main():
 
         add(f"warp_xla_{stage} D={d}", warp_xla_fn, tuple(feats), it=max(2, iters // 4))
 
+        if s < 2:  # epipolar 1-D sweep applies at c=32/16 (stages 1-2)
+            from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_epipolar
+
+            def warp_epi_fn(f0, *rest, p2=p2, samples=samples):
+                return aggregate_cost_volume_epipolar([f0, *rest], p2, samples)
+
+            add(f"warp_epi_{stage} D={d}", warp_epi_fn, tuple(feats))
+
         dv4 = jnp.broadcast_to(samples[:, :4], (1, 4, sh, sw))
 
         def warp_ref_fn(f0, *rest, p2=p2, dv4=dv4):
