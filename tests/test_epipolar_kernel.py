@@ -179,3 +179,30 @@ def test_full_model_epipolar_depth_close_to_exact():
     # stage-3 interval here = (935-425)/48 ~ 10.6 mm
     assert np.mean(diff) < 2.0, float(np.mean(diff))
     assert np.percentile(diff, 95) < 8.0, float(np.percentile(diff, 95))
+
+
+def test_epipolar_per_pixel_cascade_fans_pure_translation_exact():
+    """Per-pixel checkerboarded cascade hypotheses (the real stage-2
+    input): for a pure-translation pair the rectification is the
+    identity, so the epipolar path must be EXACT even with per-pixel
+    inverse fans."""
+    from dmvsnet_tpu.core import sampling
+
+    feats = [f[None] for f in _feats(16, n=2)]
+    cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2, tx=-80.0),
+    ])
+    proj2 = jnp.asarray(cams)[None]
+    # smooth per-pixel previous-depth map -> checkerboarded inverse fans
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    last = 600.0 + 40.0 * np.sin(gx / 17.0) * np.cos(gy / 13.0)
+    dv, _ = sampling.cascade_samples(
+        jnp.asarray(last, jnp.float32)[None], 8, jnp.float32(5.0),
+        inverse=True,
+    )
+
+    want = warp_ops.aggregate_cost_volume(feats, proj2, dv)
+    got = aggregate_cost_volume_epipolar(feats, proj2, dv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
