@@ -477,9 +477,12 @@ def epipolar_corr_view(
         return jax.lax.cond(ok2, sweep, exact_2d)
 
     g = 128 // c
+    # dpl >= 8 statically excludes the 4-plane refine passes: their
+    # checkerboard extrapolation stacks are never affine in 1/d, so the
+    # runtime gate would always fall back — don't even compile the sweep
     supported = (
         chunks is not None and BR % g == 0 and 128 % c == 0
-        and h % 2 == 0 and w % 2 == 0 and dpl >= 4
+        and h % 2 == 0 and w % 2 == 0 and dpl >= 8
     )
     if not supported:
         return exact_2d()
