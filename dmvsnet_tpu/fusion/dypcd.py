@@ -55,13 +55,14 @@ def filter_scan_dynamic(
             geo_mask_sum = np.zeros(ref_depth.shape, np.int32)
             geo_mask_sums = [np.zeros(ref_depth.shape, np.int32) for _ in levels]
             depth_sum = np.zeros(ref_depth.shape, np.float32)
+            xyz_ref = G.ref_rays(ref_depth, ref_intr)  # shared over srcs
             for src_view in src_views:
                 src_intr, src_extr, src_depth = load_view(
                     out_folder, scan_folder, src_view
                 )
                 masks, last_mask, depth_rep = G.check_geometric_consistency_dynamic(
                     ref_depth, ref_intr, ref_extr, src_depth, src_intr, src_extr,
-                    dist_base, rel_diff_base,
+                    dist_base, rel_diff_base, xyz_ref=xyz_ref,
                 )
                 geo_mask_sum += last_mask.astype(np.int32)
                 for j, i in enumerate(levels):

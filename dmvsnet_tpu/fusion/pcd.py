@@ -76,12 +76,14 @@ def filter_scan(
 
         geo_mask_sum = np.zeros(ref_depth.shape, np.int32)
         depth_sum = np.zeros(ref_depth.shape, np.float32)
+        xyz_ref = G.ref_rays(ref_depth, ref_intr)  # shared over src views
         for src_view in src_views:
             src_intr, src_extr, src_depth = load_view(
                 out_folder, scan_folder, src_view
             )
             mask, depth_rep = G.check_geometric_consistency(
-                ref_depth, ref_intr, ref_extr, src_depth, src_intr, src_extr
+                ref_depth, ref_intr, ref_extr, src_depth, src_intr, src_extr,
+                xyz_ref=xyz_ref,
             )
             geo_mask_sum += mask.astype(np.int32)
             depth_sum += depth_rep
