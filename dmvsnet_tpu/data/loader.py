@@ -53,7 +53,7 @@ class Loader:
     def __init__(
         self, dataset, batch_size: int, shuffle: bool, seed: int = 0,
         drop_last: bool = True, num_hosts: int | None = None,
-        host_id: int | None = None, prefetch: int = 2,
+        host_id: int | None = None, prefetch: int = 2, workers: int = 4,
     ):
         import jax
 
@@ -65,6 +65,10 @@ class Loader:
         self.num_hosts = num_hosts if num_hosts is not None else jax.process_count()
         self.host_id = host_id if host_id is not None else jax.process_index()
         self.prefetch = prefetch
+        # sample-decode thread pool (the reference's DataLoader
+        # num_workers): PIL/cv2/numpy release the GIL during decode, so
+        # threads overlap IO + jpeg decode without process overhead
+        self.workers = max(1, workers)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -113,8 +117,17 @@ class Loader:
 
         def worker():
             try:
-                for b in batches:
-                    q.put(_stack([self.dataset[int(i)] for i in b]))
+                if self.workers > 1 and self.batch_size > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.workers) as ex:
+                        for b in batches:
+                            q.put(_stack(list(
+                                ex.map(lambda i: self.dataset[int(i)], b)
+                            )))
+                else:
+                    for b in batches:
+                        q.put(_stack([self.dataset[int(i)] for i in b]))
             except Exception as e:  # surface loader errors on the main thread
                 q.put(e)
             finally:
