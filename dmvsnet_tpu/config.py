@@ -24,6 +24,10 @@ class Config:
     # XLA gather elsewhere; "epipolar" adds eval-time rectified 1-D
     # sweeps on top of the Pallas path (approximate, gated per view)
     warp_impl: str = "auto"  # auto | pallas | epipolar | xla
+    # rematerialize the cost U-Nets on backward (jax.checkpoint): trades
+    # ~1 extra U-Net forward for several GB of activation HBM at the
+    # full train recipe, enabling larger per-chip batches
+    remat: bool = False
 
     # dataset (main.py:16-26)
     datapath: str = ""

@@ -64,6 +64,7 @@ def build_model(cfg: Config, mesh=None) -> MVSNet:
         dtype=dtype,
         use_pallas_warp=impl in ("pallas", "epipolar"),
         use_epipolar_warp=impl == "epipolar",
+        remat=cfg.remat,
         mesh=mesh,
     )
 

@@ -64,6 +64,13 @@ class MVSNet(nn.Module):
     # image-height axis of cost volumes over sp (GSPMD halo-exchanges the
     # 3D convs).  None = single-device / propagate-from-inputs.
     mesh: Any = None
+    # Rematerialize the cost-regularization U-Nets on the backward pass
+    # (jax.checkpoint): the dominant training-memory term is the per-stage
+    # cost volumes + U-Net activations (B x D x H x W x C at 3 scales x 2
+    # passes); remat recomputes them from the (much smaller) inputs,
+    # trading ~1 extra forward of the U-Nets for several GB of HBM at the
+    # 512x640 train recipe — enables larger per-chip batches.
+    remat: bool = False
     # Diagnostic: stop after this many cascade stages (0 = run all).
     # Fractional values truncate MID-stage (s + 0.2 = after sampling,
     # +0.4 = after pass-1 cost, +0.6 = after CostRegNet, +0.8 = after the
@@ -176,7 +183,9 @@ class MVSNet(nn.Module):
             if frac <= 0.5:
                 outputs["partial"] = cost
                 break
-            cost_reg = CostRegNet(
+            reg_cls = (nn.remat(CostRegNet, static_argnums=(2,))
+                       if self.remat else CostRegNet)
+            cost_reg = reg_cls(
                 self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_{s}"
             )(cost.astype(self.dtype), train)
             if frac <= 0.7:
@@ -190,7 +199,11 @@ class MVSNet(nn.Module):
             if frac <= 0.85:
                 outputs["partial"] = cost_c
                 break
-            cost_reg_c = CostRegNetRefine(
+            regr_cls = (
+                nn.remat(CostRegNetRefine, static_argnums=(2,))
+                if self.remat else CostRegNetRefine
+            )
+            cost_reg_c = regr_cls(
                 self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_refine_{s}"
             )(cost_c.astype(self.dtype), train)
             if frac <= 0.95:

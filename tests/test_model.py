@@ -158,3 +158,38 @@ def test_mvsnet_adaptive_aggregation(rng):
     assert any("agg_weight" in k for k in variables["params"])
     out = model.apply(variables, jnp.asarray(imgs), proj_j, jnp.asarray(dv))
     assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_remat_matches_non_remat_gradients():
+    """nn.remat around the cost U-Nets must not change values or grads
+    (it only changes WHEN activations are computed)."""
+    import numpy as np
+
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.utils import synthetic
+
+    batch = synthetic.make_batch(batch=1, n_views=3, height=32, width=32,
+                                 n_depths=16)
+    imgs = jnp.asarray(batch["imgs"])
+    proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
+    dv = jnp.asarray(batch["depth_values"])
+
+    base = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1))
+    rmt = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1), remat=True)
+    v = base.init(jax.random.PRNGKey(0), imgs, proj, dv)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            imgs, proj, dv, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(out["depth"])
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(rmt, p))(v["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g0, g1,
+    )
