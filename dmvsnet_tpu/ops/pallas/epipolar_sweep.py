@@ -26,7 +26,6 @@ channel-major packing, 128-aligned window origins.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ table.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
