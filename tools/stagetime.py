@@ -291,6 +291,10 @@ def main():
 
     total = sum(e["ms"] for e in entries)
     print(f"{'SUM of parts':28s} {total:9.3f} ms")
+    if only:
+        # filtered runs are probes; don't clobber the full artifact
+        print("(--only filter active: STAGETIME.json not rewritten)")
+        return
     with open("/root/repo/STAGETIME.json", "w") as f:
         json.dump(entries, f, indent=1)
 
