@@ -66,13 +66,28 @@ def _make_resample_kernel(c: int, cwin: int, q: int):
 
     def kernel(orig_ref, coord_ref, src_hbm, out_ref, win_ref, sem):
         jx = pl.program_id(1)
+
+        def win_copy(j, slot):
+            rbj = orig_ref[0, j, 0]
+            c0j = pl.multiple_of(orig_ref[0, j, 1], 128)
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(rbj, q), :, pl.ds(c0j, cwin)],
+                win_ref.at[slot], sem.at[slot],
+            )
+
         rb = orig_ref[0, jx, 0]
         c0 = pl.multiple_of(orig_ref[0, jx, 1], 128)
-        cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, cwin)], win_ref, sem
-        )
-        cp.start()
-        cp.wait()
+        slot = jax.lax.rem(jx, 2)
+
+        @pl.when(jx == 0)
+        def _first():
+            win_copy(jx, slot).start()
+
+        win_copy(jx, slot).wait()
+
+        @pl.when(jx + 1 < pl.num_programs(1))
+        def _prefetch():
+            win_copy(jx + 1, jax.lax.rem(jx + 1, 2)).start()
 
         px = coord_ref[0, pl.ds(2 * jx, 1), :]      # (1, P)
         py = coord_ref[0, pl.ds(2 * jx + 1, 1), :]
@@ -87,7 +102,7 @@ def _make_resample_kernel(c: int, cwin: int, q: int):
         acc = jnp.zeros((g * c, p), jnp.float32)
         for j in range(q):
             res = jnp.dot(
-                win_ref[j], rx, preferred_element_type=jnp.float32,
+                win_ref[slot, j], rx, preferred_element_type=jnp.float32,
                 precision=wc.MATMUL_PRECISION,
             )
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - (r0f + j * g + l_of_sub)))
@@ -217,8 +232,8 @@ def resample_tiled(
         out_specs=pl.BlockSpec((1, 1, c, p), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nh, nw, c, p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((q, g * c, cwin), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, q, g * c, cwin), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(origin, coords, src_t)
@@ -241,12 +256,26 @@ def _make_sweep1d_kernel(c: int, pd: int, cwin: int):
     def kernel(orig_ref, coord_ref, src_hbm, ref_ref, out_ref, win_ref, sem):
         ix = pl.program_id(1)
         jx = pl.program_id(2)
+
+        def win_copy(j, slot):
+            c0j = pl.multiple_of(orig_ref[0, 0, j, 1], 128)
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ix * q1, q1), :, pl.ds(c0j, cwin)],
+                win_ref.at[slot], sem.at[slot],
+            )
+
         c0 = pl.multiple_of(orig_ref[0, 0, jx, 1], 128)
-        cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(ix * q1, q1), :, pl.ds(c0, cwin)], win_ref, sem
-        )
-        cp.start()
-        cp.wait()
+        slot = jax.lax.rem(jx, 2)
+
+        @pl.when(jx == 0)
+        def _first():
+            win_copy(jx, slot).start()
+
+        win_copy(jx, slot).wait()
+
+        @pl.when(jx + 1 < pl.num_programs(2))
+        def _prefetch():
+            win_copy(jx + 1, jax.lax.rem(jx + 1, 2)).start()
 
         cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (cwin, p), 0)).astype(
             jnp.float32
@@ -264,7 +293,7 @@ def _make_sweep1d_kernel(c: int, pd: int, cwin: int):
             corr1 = jnp.zeros((1, p), jnp.float32)
             for j in range(q1):
                 res = jnp.dot(
-                    win_ref[j], rx, preferred_element_type=jnp.float32,
+                    win_ref[slot, j], rx, preferred_element_type=jnp.float32,
                     precision=wc.MATMUL_PRECISION,
                 )
                 # STATIC row selection: sublane s holds row j*g + s//c of
@@ -337,8 +366,8 @@ def _sweep1d(
         out_specs=pl.BlockSpec((pd, 1, 2 * nw, p), lambda d, i, j: (d, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((dpl, nh, 2 * nw, p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((q1, g * c, cwin), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, q1, g * c, cwin), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(origin, px_t, src_t, ref_t)

@@ -81,6 +81,14 @@ PD = 4        # depth planes per kernel instance sharing one window DMA
 # depth-map quality and ~2-3x faster.  Module-level so callers can flip.
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Double-buffer the per-tile window DMA across the j (lane-tile) sweep:
+# while tile j computes, tile j+1's window streams into the other scratch
+# slot — the sync start();wait() otherwise serializes HBM latency against
+# the band matmuls every tile (r2 measured stage-2 at only 53% MXU).
+# Row starts (j == 0) stay synchronous (the next row's origins live in a
+# different SMEM block), hiding (nw-1)/nw of the window fetches.
+DMA_PIPELINE = True
+
 
 def _row_group(c: int, min_rows: int | None = None) -> tuple[int, int]:
     """(G rows packed per 128-sublane slot, q packed blocks per window)."""
@@ -96,6 +104,8 @@ def _make_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
     g, q = _row_group(c, min_rows)
     p = BR * BL
 
+    pipelined = DMA_PIPELINE
+
     def kernel(orig_ref, coord_ref, src_hbm, ref_ref, out_ref, win_ref, sem):
         # coord/out blocks hold PD planes x a whole row of tiles (j is the
         # innermost grid axis, so blocks stay VMEM-resident while j
@@ -103,14 +113,36 @@ def _make_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
         # dynamically, and PD planes share ONE window DMA (adjacent
         # hypotheses project only a few pixels apart).
         ix = pl.program_id(2)
+
+        def win_copy(j, slot):
+            rbj = orig_ref[0, 0, j, 0]
+            c0j = pl.multiple_of(orig_ref[0, 0, j, 1], 128)
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(rbj, q), :, pl.ds(c0j, cwin)],
+                win_ref.at[slot], sem.at[slot],
+            )
+
         rb = orig_ref[0, 0, ix, 0]
         c0 = pl.multiple_of(orig_ref[0, 0, ix, 1], 128)  # aligned by wrapper
+        if pipelined:
+            slot = jax.lax.rem(ix, 2)
+            nwj = pl.num_programs(2)
 
-        cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(rb, q), :, pl.ds(c0, cwin)], win_ref, sem
-        )
-        cp.start()
-        cp.wait()
+            @pl.when(ix == 0)
+            def _first():
+                win_copy(ix, slot).start()
+
+            win_copy(ix, slot).wait()
+
+            @pl.when(ix + 1 < nwj)
+            def _prefetch():
+                win_copy(ix + 1, jax.lax.rem(ix + 1, 2)).start()
+
+        else:
+            slot = 0
+            cp = win_copy(ix, 0)
+            cp.start()
+            cp.wait()
 
         cc = (c0 + jax.lax.broadcasted_iota(jnp.int32, (cwin, p), 0)).astype(
             jnp.float32
@@ -133,7 +165,7 @@ def _make_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
             corr1 = jnp.zeros((1, p), jnp.float32)
             for j in range(q):
                 res = jnp.dot(
-                    win_ref[j], rx, preferred_element_type=jnp.float32,
+                    win_ref[slot, j], rx, preferred_element_type=jnp.float32,
                     precision=MATMUL_PRECISION,
                 )  # (G*C, P): sublane s = row rb*G+j*G+s//C, channel s%C
                 wyb = jnp.maximum(
@@ -469,8 +501,8 @@ def _corr_view_tiled(
         ),
         out_shape=jax.ShapeDtypeStruct((dpl, nh, 2 * nw, p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((q, g * c, cwin), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, q, g * c, cwin), jnp.float32),  # revolving slots
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(origin, coords, src_t, ref_t)
