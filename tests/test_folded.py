@@ -211,3 +211,18 @@ def test_feature_net_folded_matches_standard():
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_folded_bf16_dtype_matches_standard_bf16():
+    """compute_dtype=bfloat16: the folded execution must agree with the
+    standard path at bf16 tolerances (same cast points)."""
+    from dmvsnet_tpu.models.cost_reg import CostRegNetPart
+
+    x = _rand((1, 8, 32, 48, 2))
+    std = CostRegNetPart(8, dtype=jnp.bfloat16, fold_level0=False)
+    fld = CostRegNetPart(8, dtype=jnp.bfloat16, fold_level0=True)
+    v = std.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(std.apply(v, x), np.float32)
+    got = np.asarray(fld.apply(v, x), np.float32)
+    scale = np.abs(want).mean() + 1e-6
+    assert np.abs(got - want).mean() / scale < 0.05
