@@ -87,7 +87,11 @@ MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 # the band matmuls every tile (r2 measured stage-2 at only 53% MXU).
 # Row starts (j == 0) stay synchronous (the next row's origins live in a
 # different SMEM block), hiding (nw-1)/nw of the window fetches.
-DMA_PIPELINE = True
+# Env safety valve: DMVSNET_DMA_PIPELINE=0 restores the synchronous DMA
+# (in case a toolchain change rejects the revolving-slot pattern).
+import os as _os  # noqa: E402
+
+DMA_PIPELINE = _os.environ.get("DMVSNET_DMA_PIPELINE", "1") != "0"
 
 
 def _row_group(c: int, min_rows: int | None = None) -> tuple[int, int]:

@@ -7,7 +7,9 @@ cd /root/repo
 {
   date
   echo "=== 1. bench default (warms the driver's exact program) ==="
-  timeout 5400 python bench.py --iters=8
+  timeout 5400 python bench.py --iters=8 \
+    || { echo "RETRY without DMA pipelining";
+         DMVSNET_DMA_PIPELINE=0 timeout 5400 python bench.py --iters=8; }
   echo "=== 2. bench epipolar ==="
   timeout 5400 python bench.py --iters=8 --epipolar
   echo "=== 3. stagetime (roofline; folded A/B; epipolar entries) ==="
