@@ -189,7 +189,10 @@ def _make_grad_ref_kernel(c: int, pd: int, cwin: int, min_rows: int | None = Non
     sum_d cot[d,g(s),p] * res[d,s,p] * wy[d,s,p] / half over all depth
     groups (dg is the INNERMOST grid axis so the output block stays
     VMEM-resident and revisiting accumulates)."""
-    g, q = _row_group(c)
+    g, q = _row_group(c, min_rows)  # MUST match the caller's scratch tier:
+    # with min_rows=12 at c=32 the scratch is (q=4, 128, cwin) while the
+    # default tier would DMA q=5 row-blocks — a compile-time Mosaic
+    # 'enqueue_dma shape mismatch' on hardware (hit in round 3's chiprun).
     p = BR * BL
 
     def kernel(orig_ref, coord_ref, cot_ref, src_hbm, out_ref, win_ref, sem):

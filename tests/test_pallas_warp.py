@@ -117,6 +117,51 @@ def test_pallas_gradient_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(gp[3]), 0.0)
 
 
+def test_pallas_gradient_matches_xla_c32_fast12(rng):
+    """Gradient parity at c=32 with narrow geometry: this takes the
+    MIN_ROWS_FAST=12 branch, whose backward kernels must be built with
+    the SAME row tier as their scratch buffers (a default-tier
+    _make_grad_ref_kernel DMA'd q=5 row-blocks into a q=4 scratch —
+    Mosaic 'enqueue_dma shape mismatch' on hardware, round-3 chiprun)."""
+    import jax
+
+    from dmvsnet_tpu.ops.pallas import warp_correlate as wc
+
+    b, h, w, c, d = 1, 24, 160, 32, 4
+    # sanity: c=32 must actually tier (q_fast12 < q_default)
+    assert wc._row_group(c, wc.MIN_ROWS_FAST)[1] < wc._row_group(c)[1]
+    feats = [
+        jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for _ in range(2)
+    ]
+    cams = np.stack(
+        [synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2),
+         synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2,
+                                tx=-4.0, angle=0.008)]
+    )
+    proj2 = jnp.asarray(cams[None])
+    dv = jnp.asarray(
+        np.sort(rng.uniform(400, 700, (b, d, h, w)).astype(np.float32), axis=1)
+    )
+    cot_w = jnp.asarray(rng.normal(size=(b, d, h, w, 2)).astype(np.float32))
+
+    def loss_pallas(f0, f1):
+        out = aggregate_cost_volume_pallas([f0, f1], proj2, dv,
+                                           interpret=True)
+        return jnp.sum(out * cot_w)
+
+    def loss_xla(f0, f1):
+        return jnp.sum(W.aggregate_cost_volume([f0, f1], proj2, dv) * cot_w)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(*feats)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(*feats)
+    for ours, ref, name in zip(gp, gx, ["ref", "src1"]):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
 def test_wide_baseline_falls_back_and_matches_xla(rng):
     """T&T-like adversarial geometry (strong rotation + wide baseline):
     per-tile projected spans exceed the kernel windows, the span check

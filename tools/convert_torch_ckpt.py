@@ -20,6 +20,11 @@ reference's own loader does (reference model.py:66-69).
 
 from __future__ import annotations
 
+
+# run directly (python tools/x.py): make the repo root importable
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -22,6 +22,11 @@ Usage: python tools/numerics_check.py [--full] [--json=PATH]
 
 from __future__ import annotations
 
+
+# run directly (python tools/x.py): make the repo root importable
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

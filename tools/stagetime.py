@@ -17,6 +17,11 @@ table.
 
 from __future__ import annotations
 
+
+# run directly (python tools/x.py): make the repo root importable
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time
