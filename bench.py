@@ -58,16 +58,18 @@ TRAIN_HEIGHT, TRAIN_WIDTH = 512, 640  # reference scripts/train.sh
 
 
 def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
-          use_pallas=False, use_epipolar=False):
+          use_pallas=False, use_epipolar=False, batch_size=1, fold=None):
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas, use_epipolar_warp=use_epipolar,
+        fold_level0=fold,
     )
     batch = synthetic.make_batch(
-        batch=1, n_views=views, height=height, width=width, n_depths=192
+        batch=batch_size, n_views=views, height=height, width=width,
+        n_depths=192,
     )
     imgs = jnp.asarray(batch["imgs"])
     proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
@@ -190,47 +192,61 @@ def main():
         bench_train(dtype, use_pallas, iters)
         return
 
+    batch_size = int(next(
+        (a.split("=")[1] for a in sys.argv if a.startswith("--batch=")), 1))
     forward, args = build(dtype=dtype, use_pallas=use_pallas,
-                          use_epipolar="--epipolar" in sys.argv)
-    fl = flops_of(forward, args)
+                          use_epipolar="--epipolar" in sys.argv,
+                          batch_size=batch_size)
+    # FLOPs denominator: the CANONICAL (all-unfolded) program — folding is
+    # a pure relayout whose dense-fold FLOP inflation must not flatter MFU
+    # (VERDICT r3).  When the defaults are already all-unfolded this is the
+    # same program (compile-cache hit).
+    fwd_canon, args_canon = build(dtype=dtype, use_pallas=use_pallas,
+                                  use_epipolar="--epipolar" in sys.argv,
+                                  batch_size=batch_size, fold=False)
+    fl = flops_of(fwd_canon, args_canon) / batch_size
     dt = time_amortized(forward, args, iters)
-    maps_per_s = 1.0 / dt
+    maps_per_s = batch_size / dt
 
-    # Per-stage ms attribution, if tools/stagetime.py has been run on
-    # this machine (grouped: feature / warp / costreg / heads+sampling).
+    # Per-stage ms attribution from tools/stagetime.py — only if it was
+    # produced by THIS build (git-stamped; VERDICT r3 "stale attribution").
     stage_ms = None
     try:
+        import subprocess
         with open("/root/repo/STAGETIME.json") as f:
-            entries = json.load(f)
-        groups = {"feature": 0.0, "warp": 0.0, "costreg": 0.0, "other": 0.0}
-        for e in entries:
-            n = e["name"]
-            if n.startswith("warp_xla"):
-                continue  # the non-default alternative path
-            for g in ("feature", "warp", "costreg"):
-                if n.startswith(g):
-                    groups[g] += e["ms"]
-                    break
-            else:
-                groups["other"] += e["ms"]
-        stage_ms = {k: round(v, 1) for k, v in groups.items()}
+            doc = json.load(f)
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if isinstance(doc, dict) and doc.get("git") == head:
+            groups = {"feature": 0.0, "warp": 0.0, "costreg": 0.0, "other": 0.0}
+            for e in doc["entries"]:
+                if not e.get("default_path", True):
+                    continue  # A/B alternates, not the shipped forward
+                n = e["name"]
+                for g in ("feature", "warp", "costreg"):
+                    if n.startswith(g):
+                        groups[g] += e["ms"]
+                        break
+                else:
+                    groups["other"] += e["ms"]
+            stage_ms = {k: round(v, 1) for k, v in groups.items()}
     except Exception:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "dtu_depth_maps_per_s",
-                "value": round(maps_per_s, 3),
-                "unit": "maps/s",
-                "vs_baseline": round(maps_per_s / A100_EST_MAPS_PER_S, 3),
-                "flops_per_map": fl,
-                "mfu": round(fl * maps_per_s / V5E_PEAK_FLOPS, 4)
-                if fl == fl else None,
-                "stage_ms": stage_ms,
-            }
-        )
-    )
+    out = {
+        "metric": "dtu_depth_maps_per_s",
+        "value": round(maps_per_s, 3),
+        "unit": "maps/s",
+        "vs_baseline": round(maps_per_s / A100_EST_MAPS_PER_S, 3),
+        "flops_per_map": fl,
+        "mfu": round(fl * maps_per_s / V5E_PEAK_FLOPS, 4) if fl == fl else None,
+        "stage_ms": stage_ms,
+    }
+    if batch_size != 1:
+        out["batch"] = batch_size
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -134,11 +134,14 @@ class CostRegNet(nn.Module):
 
     base_channels: int = 8
     dtype: Any = jnp.float32
+    fold_level0: bool = True  # A/B switch; params identical either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        small = CostRegNetPart(self.base_channels, self.dtype, name="cosR_small")(x, train)
-        huge = CostRegNetPart(self.base_channels, self.dtype, name="cosR_huge")(x, train)
+        small = CostRegNetPart(self.base_channels, self.dtype,
+                               self.fold_level0, name="cosR_small")(x, train)
+        huge = CostRegNetPart(self.base_channels, self.dtype,
+                              self.fold_level0, name="cosR_huge")(x, train)
         return jnp.concatenate([small, huge], axis=-1)
 
 
@@ -147,11 +150,14 @@ class CostRegNetRefine(nn.Module):
 
     base_channels: int = 8
     dtype: Any = jnp.float32
+    fold_level0: bool = True  # A/B switch; params identical either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        small = CostRegNetPartRefine(self.base_channels, self.dtype, name="cosR_small")(x, train)
-        huge = CostRegNetPartRefine(self.base_channels, self.dtype, name="cosR_huge")(x, train)
+        small = CostRegNetPartRefine(self.base_channels, self.dtype,
+                                     self.fold_level0, name="cosR_small")(x, train)
+        huge = CostRegNetPartRefine(self.base_channels, self.dtype,
+                                    self.fold_level0, name="cosR_huge")(x, train)
         return jnp.concatenate([small, huge], axis=-1)
 
 

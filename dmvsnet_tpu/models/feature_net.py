@@ -20,16 +20,17 @@ from dmvsnet_tpu.models.blocks import ConvBlock, PlainConv, upsample_nearest_2x
 
 
 class FeatureNet(nn.Module):
-    """The full-resolution level (conv0_* and the stage-3 FPN head) runs
-    in 2x2 folded space when H, W are even: the canonical layout's 8-16
-    channel full-res convs leave most MXU lanes idle (measured 2.9 TF/s,
-    STAGETIME.json r2); folding quadruples the operand widths with
-    identical parameters and numerics (models/folded.py).  The nearest-2x
-    FPN upsample becomes a free channel tile in folded space."""
+    """fold_level0=True runs the full-resolution level (conv0_* and the
+    stage-3 FPN head) in 2x2 folded space (models/folded.py): identical
+    params/numerics, 4x operand widths.  Measured on v5e (CHIPRUN.log r3)
+    the folded feature net is SLOWER (56.2 ms vs 45.3 unfolded) — the 4x
+    FLOP inflation of dense folding outweighs the MXU-utilization gain at
+    these shapes — so the default is False.  The switch stays for A/B
+    re-measurement on other chips."""
 
     base_channels: int = 8
     dtype: Any = jnp.float32
-    fold_level0: bool = True  # A/B switch; params identical either way
+    fold_level0: bool = False  # A/B switch; params identical either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict[str, jnp.ndarray]:

@@ -71,6 +71,11 @@ class MVSNet(nn.Module):
     # trading ~1 extra forward of the U-Nets for several GB of HBM at the
     # 512x640 train recipe — enables larger per-chip batches.
     remat: bool = False
+    # Fold-layout override: None = each submodule's measured default
+    # (feature net unfolded, cost U-Net level 0 folded); True/False forces
+    # every fold switch.  Params/numerics identical either way — bench.py
+    # uses fold_level0=False to count canonical FLOPs.
+    fold_level0: Any = None
     # Diagnostic: stop after this many cascade stages (0 = run all).
     # Fractional values truncate MID-stage (s + 0.2 = after sampling,
     # +0.4 = after pass-1 cost, +0.6 = after CostRegNet, +0.8 = after the
@@ -106,8 +111,11 @@ class MVSNet(nn.Module):
         # NOTE: divided by D0, not D0-1 (reference networks/mvsnet.py:196).
         depth_interval = (depth_values[0, -1] - depth_values[0, 0]) / depth_values.shape[1]
 
+        fold_kw = {} if self.fold_level0 is None else {"fold_level0": self.fold_level0}
+
         # --- feature extraction: one batched call over B*V images ---
-        feats = FeatureNet(self.base_channels, dtype=self.dtype, name="feature")(
+        feats = FeatureNet(self.base_channels, dtype=self.dtype, name="feature",
+                           **fold_kw)(
             imgs.reshape(b * v, h, w, imgs.shape[-1]), train
         )
         feats = {k: f.reshape(b, v, *f.shape[1:]) for k, f in feats.items()}
@@ -186,7 +194,8 @@ class MVSNet(nn.Module):
             reg_cls = (nn.remat(CostRegNet, static_argnums=(2,))
                        if self.remat else CostRegNet)
             cost_reg = reg_cls(
-                self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_{s}"
+                self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_{s}",
+                **fold_kw,
             )(cost.astype(self.dtype), train)
             if frac <= 0.7:
                 outputs["partial"] = cost_reg
@@ -204,7 +213,8 @@ class MVSNet(nn.Module):
                 if self.remat else CostRegNetRefine
             )
             cost_reg_c = regr_cls(
-                self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_refine_{s}"
+                self.cr_base_channels[s], dtype=self.dtype,
+                name=f"cost_reg_refine_{s}", **fold_kw,
             )(cost_c.astype(self.dtype), train)
             if frac <= 0.95:
                 outputs["partial"] = cost_reg_c

@@ -174,17 +174,23 @@ def main():
         roof_s = max(t_mxu, t_hbm)
         bound = "mxu" if t_mxu >= t_hbm else "hbm"
         sol = roof_s / dt if roof_s == roof_s and dt > 0 else float("nan")
+        # default_path: entries composing the shipped forward (bench.py
+        # sums only these for stage_ms); A/B alternates are tagged False
+        alt = ("warp_xla" in name or "warp_epi" in name
+               or "folded" in name or "unfolded" in name
+               or "costreg_part" in name)
         entries.append({"name": name, "ms": round(dt * 1e3, 3),
                         "flops": fl, "tflops_s": round(tf, 2),
                         "bytes": by, "gb_s": round(by / dt / 1e9, 1) if by == by else None,
                         "bound": bound, "roofline_ms": round(roof_s * 1e3, 3),
-                        "sol_pct": round(sol * 100, 1) if sol == sol else None})
+                        "sol_pct": round(sol * 100, 1) if sol == sol else None,
+                        "default_path": not alt})
         print(f"{name:28s} {dt*1e3:9.3f} ms   {fl/1e9 if fl==fl else 0:9.2f} GF "
               f"{tf:7.2f} TF/s  {by/1e9 if by==by else 0:7.2f} GB "
               f"{bound}-bound {sol*100 if sol==sol else 0:5.1f}% SoL  "
               f"(compile {compile_s:.1f}s)", flush=True)
 
-    # --- FeatureNet (folded level-0 default; unfolded for attribution) ---
+    # --- FeatureNet (unfolded default since r4; folded A/B alternate) ---
     imgs = jax.random.normal(key, (V, H, W, 3), jnp.float32)
     fnet = FeatureNet(8)
     fvars = fnet.init(key, imgs[:1])
@@ -193,12 +199,12 @@ def main():
         return fnet.apply(fvars, imgs)
 
     add("feature_net(5 views)", feat_fn, (imgs,))
-    fnet_u = FeatureNet(8, fold_level0=False)
+    fnet_f = FeatureNet(8, fold_level0=True)
 
-    def feat_fn_u(imgs):
-        return fnet_u.apply(fvars, imgs)
+    def feat_fn_f(imgs):
+        return fnet_f.apply(fvars, imgs)
 
-    add("feature_net_unfolded", feat_fn_u, (imgs,), it=max(2, iters // 2))
+    add("feature_net_folded", feat_fn_f, (imgs,), it=max(2, iters // 2))
 
     # --- per-stage pieces ---
     depth_interval = (dv[0, -1] - dv[0, 0]) / dv.shape[1]
@@ -259,17 +265,14 @@ def main():
             return reg.apply(rv, cost)
 
         add(f"costreg_{stage} D={d}", reg_fn, (cost,))
-        if s == 2:  # folded-path attribution at the stage it activates
-            from dmvsnet_tpu.models.cost_reg import CostRegNetPart
+        if s == 2:  # folded-path A/B at the stage the fold activates
+            reg_u = CostRegNet(8, fold_level0=False)
 
-            part_u = CostRegNetPart(8, fold_level0=False)
-            part_f = CostRegNetPart(8, fold_level0=True)
-            pv = part_u.init(key, cost)
-            add(f"costreg_part_unfolded_{stage}",
-                lambda c, pv=pv, m=part_u: m.apply(pv, c), (cost,),
+            def reg_fn_u(cost, rv=rv, reg=reg_u):
+                return reg.apply(rv, cost)
+
+            add(f"costreg_unfolded_{stage}", reg_fn_u, (cost,),
                 it=max(2, iters // 2))
-            add(f"costreg_part_folded_{stage}",
-                lambda c, pv=pv, m=part_f: m.apply(pv, c), (cost,))
 
         cost4 = jax.random.normal(key, (1, 4, sh, sw, 2), jnp.float32)
         regr = CostRegNetRefine(8)
@@ -279,6 +282,14 @@ def main():
             return regr.apply(rvr, cost4)
 
         add(f"costreg_refine_{stage}", regr_fn, (cost4,))
+        if s == 2:  # refine fold A/B at full res (r2: 37 ms @ 1.5 TF/s)
+            regr_u = CostRegNetRefine(8, fold_level0=False)
+
+            def regr_fn_u(cost4, rvr=rvr, regr=regr_u):
+                return regr.apply(rvr, cost4)
+
+            add(f"costreg_refine_unfolded_{stage}", regr_fn_u, (cost4,),
+                it=max(2, iters // 2))
 
         creg = jax.random.normal(key, (1, d, sh, sw, 4), jnp.float32)
 
@@ -300,8 +311,17 @@ def main():
         # filtered runs are probes; don't clobber the full artifact
         print("(--only filter active: STAGETIME.json not rewritten)")
         return
+    # git-stamped so bench.py can refuse stale attribution (VERDICT r3 #6)
+    import subprocess
+    try:
+        git = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        git = ""
     with open("/root/repo/STAGETIME.json", "w") as f:
-        json.dump(entries, f, indent=1)
+        json.dump({"git": git, "ts": time.time(), "entries": entries}, f, indent=1)
 
 
 if __name__ == "__main__":
