@@ -143,6 +143,16 @@ def test_pallas_gradient_matches_xla_c32_fast12(rng):
     dv = jnp.asarray(
         np.sort(rng.uniform(400, 700, (b, d, h, w)).astype(np.float32), axis=1)
     )
+    # the fast12 branch must actually be TAKEN for this geometry — if the
+    # span check failed, lax.cond would route elsewhere and this test
+    # would silently stop covering the fixed kernel (ADVICE r3)
+    from dmvsnet_tpu.core import geometry as G
+
+    fused = G.fuse_projection(proj2)[0]
+    rel = G.relative_projection(fused[1], fused[0])
+    assert bool(
+        wc._span_ok(rel, dv[0], h, w, c, wc.C_WIN_FAST, wc.MIN_ROWS_FAST)
+    ), "smoke geometry no longer selects the fast12 tier"
     cot_w = jnp.asarray(rng.normal(size=(b, d, h, w, 2)).astype(np.float32))
 
     def loss_pallas(f0, f1):

@@ -15,11 +15,12 @@ from __future__ import annotations
 
 
 # run directly (python tools/x.py): make the repo root importable
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import sys
 import time
 
 import jax

@@ -17,11 +17,12 @@ from __future__ import annotations
 
 
 # run directly (python tools/x.py): make the repo root importable
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import os
 import time
 
 os.environ["XLA_FLAGS"] = (
@@ -31,7 +32,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import sys  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -21,11 +21,12 @@ Writes TIER_SMOKE.json: [{c, tier, fwd_err, gsrc_err, gref_err, ok}].
 from __future__ import annotations
 
 # run directly (python tools/x.py): make the repo root importable
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import sys
 import time
 
 import jax
@@ -122,8 +123,8 @@ def main():
                 print(f"c={c:2d} {name:7s} CRASH {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
                 failed = True
-    with open(_os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), "TIER_SMOKE.json"), "w") as f:
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TIER_SMOKE.json"), "w") as f:
         json.dump(rows, f, indent=1)
     sys.exit(1 if failed else 0)
 
