@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_w", type=int, default=None)
     p.add_argument("--fix_res", action="store_true", default=None)
     p.add_argument("--num_worker", type=int, default=None)
+    p.add_argument("--eval_batch", type=int, default=None,
+                   help="reference views inferred per device dispatch")
     p.add_argument("--filter_method", default=None,
                    choices=["pcd", "dypcd", "none"])
     p.add_argument("--conf", type=float, nargs="+", default=None)

@@ -72,6 +72,12 @@ class Config:
     max_w: int = 1152
     fix_res: bool = False
     num_worker: int = 4
+    # reference views inferred per device dispatch at eval: the DTU
+    # protocol's 49 ref views per scan are an embarrassingly batchable
+    # axis (the reference feeds them one at a time, model.py:330-345);
+    # B>1 fills the MXU better at the 8-64ch convs.  The tail batch is
+    # padded by repetition so only one shape compiles per scene bucket.
+    eval_batch: int = 1
     filter_method: str = "pcd"
     conf: Sequence[float] = (0.1, 0.15, 0.7)
     thres_view: int = 5

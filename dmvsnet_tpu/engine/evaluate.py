@@ -60,11 +60,19 @@ def run_test(cfg: Config) -> None:
             max_h=max_h, max_w=max_w, fix_res=cfg.fix_res,
             inverse_depth=cfg.inverse_depth, fixed_hw=latched_hw,
         )
-        for i in range(len(ds)):
-            sample = ds[i]
-            imgs = jnp.asarray(sample["imgs"][None])
-            proj = {k: jnp.asarray(v[None]) for k, v in sample["proj_matrices"].items()}
-            dv = jnp.asarray(sample["depth_values"][None])
+        eb = max(1, int(getattr(cfg, "eval_batch", 1)))
+        for start in range(0, len(ds), eb):
+            samples = [ds[i] for i in range(start, min(start + eb, len(ds)))]
+            nreal = len(samples)
+            # pad the tail batch by repetition: one compiled shape per
+            # scene bucket, padded outputs discarded below
+            samples = samples + [samples[-1]] * (eb - nreal)
+            imgs = jnp.asarray(np.stack([s["imgs"] for s in samples]))
+            proj = {
+                k: jnp.asarray(np.stack([s["proj_matrices"][k] for s in samples]))
+                for k in samples[0]["proj_matrices"]
+            }
+            dv = jnp.asarray(np.stack([s["depth_values"] for s in samples]))
 
             if state is None:
                 # init once at the first sample's shapes; restore weights
@@ -95,30 +103,32 @@ def run_test(cfg: Config) -> None:
                     print(f"model summary unavailable: {e}")
 
             t0 = time.time()
-            depth, conf = infer(state, imgs, proj, dv)
-            depth = np.asarray(jax.block_until_ready(depth))[0]
-            conf = np.asarray(conf)[0]
+            depth_b, conf_b = infer(state, imgs, proj, dv)
+            depth_b = np.asarray(jax.block_until_ready(depth_b))
+            conf_b = np.asarray(conf_b)
             print(
-                f"{scene} [{i}/{len(ds)}] {depth.shape} "
-                f"{time.time() - t0:.3f}s", flush=True,
+                f"{scene} [{start}..{start + nreal - 1}/{len(ds)}] "
+                f"{depth_b.shape[1:]} {time.time() - t0:.3f}s", flush=True,
             )
 
-            fname = sample["filename"]
-            depth_path = os.path.join(cfg.outdir, fname.format("depth_est", ".pfm"))
-            conf_path = os.path.join(cfg.outdir, fname.format("confidence", ".pfm"))
-            cam_path = os.path.join(cfg.outdir, fname.format("cams", "_cam.txt"))
-            img_path = os.path.join(cfg.outdir, fname.format("images", ".jpg"))
-            io.save_pfm(depth_path, depth.astype(np.float32))
-            io.save_pfm(conf_path, conf.astype(np.float32))
-            io.write_cam_file(cam_path, sample["proj_matrices"]["stage3"][0])
-            os.makedirs(os.path.dirname(img_path), exist_ok=True)
-            cv2.imwrite(
-                img_path,
-                cv2.cvtColor(
-                    np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8),
-                    cv2.COLOR_RGB2BGR,
-                ),
-            )
+            for j in range(nreal):
+                sample, depth, conf = samples[j], depth_b[j], conf_b[j]
+                fname = sample["filename"]
+                depth_path = os.path.join(cfg.outdir, fname.format("depth_est", ".pfm"))
+                conf_path = os.path.join(cfg.outdir, fname.format("confidence", ".pfm"))
+                cam_path = os.path.join(cfg.outdir, fname.format("cams", "_cam.txt"))
+                img_path = os.path.join(cfg.outdir, fname.format("images", ".jpg"))
+                io.save_pfm(depth_path, depth.astype(np.float32))
+                io.save_pfm(conf_path, conf.astype(np.float32))
+                io.write_cam_file(cam_path, sample["proj_matrices"]["stage3"][0])
+                os.makedirs(os.path.dirname(img_path), exist_ok=True)
+                cv2.imwrite(
+                    img_path,
+                    cv2.cvtColor(
+                        np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8),
+                        cv2.COLOR_RGB2BGR,
+                    ),
+                )
         if cfg.fix_res:
             latched_hw = ds.latched_hw
 

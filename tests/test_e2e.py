@@ -48,6 +48,40 @@ def test_cli_test_mode_writes_outputs_and_fuses(tmp_path):
     assert os.path.exists(str(tmp_path / "depth.png"))
 
 
+def test_eval_batching_matches_single(tmp_path):
+    """eval_batch>1 (batched ref-view inference incl. a padded tail
+    batch) must match eval_batch=1 to fp-reassociation noise (the B>1
+    program reassociates conv reductions; measured max delta 5e-4 mm)."""
+    datapath = str(tmp_path / "data")
+    synthetic.write_eval_scene(datapath, "scan1", height=128, width=160, n_views=4)
+    listfile = str(tmp_path / "list.txt")
+    with open(listfile, "w") as f:
+        f.write("scan1\n")
+
+    common = [
+        "--test", "--dataset_name", "general_eval",
+        "--datapath", datapath, "--testlist", listfile,
+        "--ndepths", "8", "8", "8", "--interval_ratio", "4", "2", "1",
+        "--numdepth", "32", "--max_h", "128", "--max_w", "160",
+        "--num_view", "4", "--inverse_depth", "--filter_method", "none",
+    ]
+    out1 = str(tmp_path / "out1")
+    out3 = str(tmp_path / "out3")
+    cli.main(common + ["--outdir", out1, "--eval_batch", "1"])
+    # 4 ref views with batch 3 -> one full batch + a padded tail of 1
+    cli.main(common + ["--outdir", out3, "--eval_batch", "3"])
+
+    views = sorted(os.listdir(os.path.join(out1, "scan1/depth_est")))
+    assert len(views) == 4
+    for v in views:
+        d1, _ = io.read_pfm(os.path.join(out1, "scan1/depth_est", v))
+        d3, _ = io.read_pfm(os.path.join(out3, "scan1/depth_est", v))
+        np.testing.assert_allclose(d1, d3, atol=1e-2)  # depth unit = mm
+        c1, _ = io.read_pfm(os.path.join(out1, "scan1/confidence", v))
+        c3, _ = io.read_pfm(os.path.join(out3, "scan1/confidence", v))
+        np.testing.assert_allclose(c1, c3, atol=1e-4)
+
+
 def test_cli_preset_and_overrides():
     cfg = cli.config_from_args(
         cli.build_parser().parse_args(
