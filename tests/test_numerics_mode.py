@@ -34,6 +34,13 @@ def _assert_within_tol(report: dict) -> None:
     assert report["conf_default_vs_highest"]["mean"] <= tol["conf_mean"]
     x = report["depth_pallas_vs_xla_mm"]
     assert x["mean"] <= tol["mean_mm"] and x["max"] <= tol["max_mm"], x
+    if "depth_epipolar_vs_default_mm" in report:
+        # the epipolar default-eval gate (VERDICT r3 #5): full-res
+        # depth-metric neutrality, pinned in tools/numerics_check.py
+        e = report["depth_epipolar_vs_default_mm"]
+        assert e["mean"] <= tol["epi_mean_mm"], e
+        assert e["p99"] <= tol["epi_p99_mm"], e
+        assert e["max"] <= tol["epi_max_mm"], e
 
 
 def test_numerics_artifact_within_tolerance():

@@ -47,6 +47,15 @@ TOL_P99_MM = 2.0
 TOL_MAX_MM = 10.0
 TOL_CONF_MEAN = 5e-3
 
+# Pinned tolerances for the APPROXIMATE epipolar eval path (rectified
+# 1-D sweeps add two bilinear resamples): the bar for flipping it to the
+# default eval mode (VERDICT r3 #5) is depth-metric neutrality — errors
+# well under the stage-3 hypothesis interval (2.66 mm at the DTU config)
+# in the mean/p99, with a bounded tail at depth discontinuities.
+EPI_TOL_MEAN_MM = 0.5
+EPI_TOL_P99_MM = 5.0
+EPI_TOL_MAX_MM = 60.0
+
 
 def run_forward(height, width, precision, use_pallas, use_epipolar=False):
     from dmvsnet_tpu.models import MVSNet
@@ -108,13 +117,25 @@ def main():
                 "max_mm": TOL_MAX_MM, "conf_mean": TOL_CONF_MEAN},
     }
     if "--epipolar" in sys.argv:
-        # the APPROXIMATE eval path (rectified 1-D sweeps): reported at
-        # full model scale; gated loosely (mean only) — its quality bar
-        # is the synthetic-scene gate in tests/test_epipolar_kernel.py
-        d_epi, c_epi = run_forward(h, w, jax.lax.Precision.DEFAULT, True,
+        # the APPROXIMATE eval path (rectified 1-D sweeps), compared at
+        # the FULL eval resolution (864x1152) regardless of --full: the
+        # default-vs-epipolar pair is what gates the default-eval flip
+        # (VERDICT r3 #5), and the full-res default program is the bench
+        # program (compile-cache warm).  The XLA anchor stays at the
+        # probe shape; default-vs-XLA there + epipolar-vs-default here
+        # bound epipolar-vs-XLA by the triangle inequality.
+        eh, ew = 864, 1152
+        d_deff, c_deff = (d_def, c_def) if (eh, ew) == (h, w) else \
+            run_forward(eh, ew, jax.lax.Precision.DEFAULT, True)
+        d_epi, c_epi = run_forward(eh, ew, jax.lax.Precision.DEFAULT, True,
                                    use_epipolar=True)
-        report["depth_epipolar_vs_default_mm"] = stats(d_epi, d_def)
-        report["conf_epipolar_vs_default"] = stats(c_epi, c_def)
+        report["epipolar_shape"] = [eh, ew]
+        report["depth_epipolar_vs_default_mm"] = stats(d_epi, d_deff)
+        report["conf_epipolar_vs_default"] = stats(c_epi, c_deff)
+        report["tol"].update({
+            "epi_mean_mm": EPI_TOL_MEAN_MM, "epi_p99_mm": EPI_TOL_P99_MM,
+            "epi_max_mm": EPI_TOL_MAX_MM,
+        })
     print(json.dumps(report, indent=1))
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
@@ -129,6 +150,11 @@ def main():
     # huge margin; asserted to catch kernel-geometry regressions)
     s = report["depth_pallas_vs_xla_mm"]
     assert s["mean"] <= TOL_MEAN_MM and s["max"] <= TOL_MAX_MM, s
+    if "depth_epipolar_vs_default_mm" in report:
+        s = report["depth_epipolar_vs_default_mm"]
+        assert s["mean"] <= EPI_TOL_MEAN_MM, s
+        assert s["p99"] <= EPI_TOL_P99_MM, s
+        assert s["max"] <= EPI_TOL_MAX_MM, s
     print("numerics check OK")
 
 
