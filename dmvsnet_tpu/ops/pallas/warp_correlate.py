@@ -104,6 +104,46 @@ def _row_group(c: int, min_rows: int | None = None) -> tuple[int, int]:
     return g, q
 
 
+def analytic_cost(
+    h: int, w: int, c: int, dpl: int,
+    cwin: int = C_WIN, min_rows: int | None = None,
+) -> tuple[float, float]:
+    """(flops, bytes) ONE view's forward kernel actually executes/moves.
+
+    XLA's cost model cannot see inside the pallas custom call and, worse,
+    sums BOTH branches of the `_span_ok` lax.cond (the dead XLA-gather
+    fallback inflates flops and bytes) — r3's stagetime printed warp
+    stage-2 at "1570% of roofline" because of it (VERDICT r3).  This
+    derives the real numbers from the kernel structure:
+
+      flops  = band matmuls: per (plane-group, tile) q blocks of
+               (128, cwin) @ (cwin, P) per plane, 2*128*cwin*P flops each
+               (the ref-multiply + group reduce adds ~128*P*3 per plane —
+               negligible, included for completeness);
+      bytes  = window DMA (q*(128 x cwin) fp32 per plane-group tile,
+               shared across the pd planes) + the ref tile re-fetched per
+               plane-group + coords + output writes + the one-time source
+               packing / reference tiling passes.
+    """
+    g, q = _row_group(c, min_rows)
+    _, q_pack = _row_group(c)
+    p = BR * BL
+    wp = max(_round_up(w, BL), C_WIN)
+    hp = _round_up(max(h, (q_pack + 1) * g), max(BR, g))
+    nh, nw = hp // BR, wp // BL
+    pd = PD if dpl % PD == 0 else (2 if dpl % 2 == 0 else 1)
+    groups = (dpl // pd) * nh * nw
+    flops = groups * pd * (q * 2 * 128 * cwin * p + 3 * 128 * p)
+    win_bytes = groups * q * 128 * cwin * 4
+    ref_bytes = groups * 128 * p * 4
+    coord_bytes = dpl * nh * 2 * nw * p * 4
+    out_bytes = dpl * nh * 2 * nw * p * 4
+    pack_bytes = 2 * c * hp * wp * 4 + 2 * nh * nw * 128 * p * 4
+    return float(flops), float(
+        win_bytes + ref_bytes + coord_bytes + out_bytes + pack_bytes
+    )
+
+
 def _make_kernel(c: int, pd: int, cwin: int, min_rows: int | None = None):
     g, q = _row_group(c, min_rows)
     p = BR * BL

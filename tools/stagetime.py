@@ -86,6 +86,38 @@ def costs_of(fn, args) -> tuple[float, float]:
         return float("nan"), float("nan")
 
 
+def pallas_warp_cost(proj2, samples, sh, sw, c):
+    """Analytic (flops, bytes) of the Pallas warp at these inputs: picks
+    each view's ACTUAL tier via the same `_span_ok` routing the compiled
+    cond uses (inputs are concrete here), then sums
+    `warp_correlate.analytic_cost`.  XLA's cost model can't do this — it
+    sums both cond branches and sees zero inside the custom call
+    (VERDICT r3 "1570% SoL")."""
+    from dmvsnet_tpu.core import geometry
+    from dmvsnet_tpu.ops.pallas import warp_correlate as wc
+
+    dpl = samples.shape[1]
+    dv0 = samples[0]
+    fused = geometry.fuse_projection(proj2)[0]
+    fl = by = 0.0
+    row_tiered = wc._row_group(c, wc.MIN_ROWS_FAST)[1] < wc._row_group(c)[1]
+    for v in range(1, proj2.shape[1]):
+        rel = geometry.relative_projection(fused[v], fused[0])
+        if row_tiered and bool(wc._span_ok(
+                rel, dv0, sh, sw, c, wc.C_WIN_FAST, wc.MIN_ROWS_FAST)):
+            tier = (wc.C_WIN_FAST, wc.MIN_ROWS_FAST)
+        elif bool(wc._span_ok(rel, dv0, sh, sw, c, wc.C_WIN_FAST)):
+            tier = (wc.C_WIN_FAST, None)
+        elif bool(wc._span_ok(rel, dv0, sh, sw, c, wc.C_WIN)):
+            tier = (wc.C_WIN, None)
+        else:  # XLA fallback branch: no analytic model, skip override
+            return None
+        f, b = wc.analytic_cost(sh, sw, c, dpl, *tier)
+        fl += f
+        by += b
+    return fl, by
+
+
 def prefix_main(iters: int):
     """Time the REAL composed model truncated after k stages (and the
     feature net alone) to localize inter-stage overhead the isolated
@@ -163,10 +195,10 @@ def main():
 
     entries = []
 
-    def add(name, fn, args, it=iters):
+    def add(name, fn, args, it=iters, cost_override=None):
         if only and only not in name:
             return
-        fl, by = costs_of(fn, args)
+        fl, by = cost_override if cost_override else costs_of(fn, args)
         dt, compile_s = time_amortized(fn, args, it)
         tf = fl / dt / 1e12 if fl == fl else float("nan")
         # roofline: the faster-of-two-limits time this stage COULD take,
@@ -236,7 +268,8 @@ def main():
         def warp_fn(f0, *rest, p2=p2, samples=samples):
             return aggregate_cost_volume_pallas([f0, *rest], p2, samples)
 
-        add(f"warp_{stage} D={d}", warp_fn, tuple(feats))
+        add(f"warp_{stage} D={d}", warp_fn, tuple(feats),
+            cost_override=pallas_warp_cost(p2, samples, sh, sw, c))
 
         def warp_xla_fn(f0, *rest, p2=p2, samples=samples):
             return warp_ops.aggregate_cost_volume([f0, *rest], p2, samples)
@@ -256,7 +289,8 @@ def main():
         def warp_ref_fn(f0, *rest, p2=p2, dv4=dv4):
             return aggregate_cost_volume_pallas([f0, *rest], p2, dv4)
 
-        add(f"warp_{stage}_refine D=4", warp_ref_fn, tuple(feats))
+        add(f"warp_{stage}_refine D=4", warp_ref_fn, tuple(feats),
+            cost_override=pallas_warp_cost(p2, dv4, sh, sw, c))
 
         cost = jax.random.normal(key, (1, d, sh, sw, 2), jnp.float32)
         reg = CostRegNet(8)
