@@ -132,6 +132,7 @@ def bench_train(dtype, use_pallas, iters: int) -> None:
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas,
+        remat="--remat" in sys.argv,
     )
     batch_np = synthetic.make_batch(
         batch=2, n_views=VIEWS, height=TRAIN_HEIGHT, width=TRAIN_WIDTH,

@@ -54,9 +54,15 @@ def build_model(cfg: Config, mesh=None) -> MVSNet:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
     impl = cfg.warp_impl
     if impl == "auto":
-        # the Pallas kernel needs real TPU hardware; interpret mode on
-        # CPU would be slower than the XLA gather path
-        impl = "pallas" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+        # the Pallas kernels need real TPU hardware; interpret mode on
+        # CPU would be slower than the XLA gather path.  On TPU, auto
+        # means the epipolar 1-D sweep for EVAL (fastest measured path;
+        # per-(view, stage) validity gates fall back to the exact 2-D
+        # kernel, and the full-model accuracy gate is NUMERICS.json's
+        # depth_epipolar_vs_default_mm, re-asserted by the suite) — and
+        # the 2-D kernel's custom-VJP path for training (MVSNet ignores
+        # use_epipolar_warp under train=True).
+        impl = "epipolar" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
     return MVSNet(
         ndepths=tuple(cfg.ndepths),
         depth_interval_ratio=tuple(cfg.interval_ratio),

@@ -426,6 +426,60 @@ def _unrect_chunks(dpl: int) -> list[int] | None:
     return chunks if rem == 0 else None
 
 
+def sweep_engaged(
+    rel: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    h: int, w: int, c: int,
+    cwin: int = C_WIN_FAST,
+) -> bool:
+    """Diagnostic: would `epipolar_corr_view` take the 1-D sweep for this
+    (view, stage), or fall back to the 2-D kernel?
+
+    Mirrors both validity rounds eagerly (inputs are concrete), with the
+    round-2 fan-coefficient resample approximated by a plain jnp bilinear
+    sample (numerically within fp rounding of the kernel's).  Used by
+    tools/numerics_check.py so an "epipolar matches the default path"
+    report can never silently mean "epipolar fell back everywhere"
+    (the r3 artifact was ambiguous on exactly this)."""
+    from dmvsnet_tpu.ops import warp as warp_ops
+
+    dpl = depth_values.shape[0]
+    chunks = _unrect_chunks(dpl)
+    g = 128 // c
+    if not (chunks is not None and BR % g == 0 and 128 % c == 0
+            and h % 2 == 0 and w % 2 == 0 and dpl >= 8):
+        return False
+    rect = epipolar.compute_rectification(rel, h, w)
+    sxx, sxy = epipolar.rect_grid_coords(rect.h_src, h, w)
+    rxx, rxy = epipolar.rect_grid_coords(rect.h_ref, h, w)
+    ux, uy = epipolar.unrect_grid_coords(rect.h_ref, h, w)
+    inv_lo, inv_step, affine_ok = _inv_fan_coeffs(depth_values)
+
+    diag = float((h * h + w * w) ** 0.5)
+    ok = jnp.all((jnp.abs(rect.scales) > SCALE_MIN)
+                 & (jnp.abs(rect.scales) < SCALE_MAX))
+    ok &= rect.epipole_dist > EPIPOLE_MARGIN * diag
+    ok &= affine_ok
+    ok &= _resample_span_ok(sxx, sxy, h, w, c, cwin)
+    ok &= _resample_span_ok(rxx, rxy, h, w, c, cwin)
+    for ch in set(chunks):
+        ok &= _resample_span_ok(ux, uy, h, w, ch, cwin)
+    if not bool(ok):
+        return False
+
+    coeffs = warp_ops.bilinear_sample(
+        jnp.stack([inv_lo, inv_step], axis=-1), rxx, rxy
+    )
+    gx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    gy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    px_inf = rect.px_aff[0] * gx + rect.px_aff[1] * gy + rect.px_aff[2]
+    b = rect.b_aff[0] * gx + rect.b_aff[1] * gy + rect.b_aff[2]
+    ds = jnp.arange(dpl, dtype=jnp.float32)
+    px = (px_inf + b * coeffs[..., 0])[None] \
+        + ds[:, None, None] * (b * coeffs[..., 1])[None]
+    return bool(_sweep1d_span_ok(px, h, w, c, cwin))
+
+
 def epipolar_corr_view(
     src_feat: jnp.ndarray,
     ref_feat: jnp.ndarray,

@@ -495,9 +495,15 @@ def _tile_out(x: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
     exact inverse of _untile_out (used by the XLA fallback branch so both
     cond branches return identical shapes)."""
     d, h, w, _ = x.shape
+    return _tile_out_cm(jnp.moveaxis(x, -1, 1), h, w, nh, nw)
+
+
+def _tile_out_cm(x: jnp.ndarray, h: int, w: int, nh: int, nw: int) -> jnp.ndarray:
+    """(D, 2, H, W) channel-major correlation -> tiled (D, nh, 2nw, P)."""
+    d = x.shape[0]
     hp, wp = nh * BR, nw * BL
-    xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    t = _tile_lanes(jnp.moveaxis(xp, -1, 1), nh, nw)  # (D, 2, nh, nw, P)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    t = _tile_lanes(xp, nh, nw)  # (D, 2, nh, nw, P)
     return t.transpose(0, 2, 3, 1, 4).reshape(d, nh, 2 * nw, BR * BL)
 
 
@@ -696,14 +702,18 @@ def _corr_view_tiled_safe(
         )
 
     def xla_branch():
-        px, py = geometry.plane_sweep_coords(
-            rel_proj[None], depth_values[None], h, w
+        # channel-major formulation: identical math to
+        # group_correlation(warp(src), ref) but every intermediate and
+        # VJP residual keeps W on the lane axis — the flat-index form's
+        # backward pads its gather indices / (..., k, g) product 64-128x
+        # and OOM'd the r4 train compile at 364 GB (this branch is dead
+        # on DTU geometries but XLA still allocates its temps)
+        corr_cm = warp_ops.plane_sweep_corr_cm(
+            src_feat, ref_feat, rel_proj, depth_values
+        )  # (2, D, H, W)
+        return _tile_out_cm(
+            jnp.moveaxis(corr_cm, 0, 1).astype(jnp.float32), h, w, nh, nw
         )
-        px = jax.lax.stop_gradient(px)
-        py = jax.lax.stop_gradient(py)
-        warped = jax.vmap(warp_ops.bilinear_sample)(src_feat[None], px, py)
-        corr = warp_ops.group_correlation(warped, ref_feat[None])
-        return _tile_out(corr[0].astype(jnp.float32), nh, nw)
 
     def wide_or_xla():
         return jax.lax.cond(ok, pallas_wide, xla_branch)

@@ -152,6 +152,69 @@ def warp_src_feature(
     return jax.vmap(sampler)(src_feat, px, py)
 
 
+def plane_sweep_corr_cm(
+    src_feat: jnp.ndarray,
+    ref_feat: jnp.ndarray,
+    rel_proj: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    groups: int = 2,
+) -> jnp.ndarray:
+    """One view's plane-sweep group correlation, CHANNEL-MAJOR layout:
+    functionally group_correlation(warp(src), ref) but with W on the TPU
+    lane axis in every intermediate — including the VJP's saved
+    residuals.
+
+    The flat-index bilinear path (bilinear_sample) is fine as a semantic
+    reference, but differentiating it at train shapes is catastrophic on
+    TPU: its backward saves s32[1, D*H*W, 1] gather indices and a
+    (..., k, g) 6-D product whose tiny trailing dims XLA pads 64-128x —
+    the round-4 chip run OOM'd at 364 GB of HBM temps through exactly
+    this path (the dead-but-allocated XLA fallback branch of the Pallas
+    span cond).  Here every gather index / weight / product is (D, H, W)
+    or (C, D, H, W) with W minor, so nothing pads pathologically.
+
+    Args:
+      src_feat, ref_feat: (H, W, C); rel_proj: (4, 4) fused relative
+      projection; depth_values: (D, H, W).
+
+    Returns:
+      (G, D, H, W) correlation (channel-major; callers transpose/tile).
+    """
+    h, w, c = src_feat.shape
+    px, py = geometry.plane_sweep_coords(
+        rel_proj[None], depth_values[None], h, w
+    )
+    px = jax.lax.stop_gradient(px[0]).astype(jnp.float32)  # (D, H, W)
+    py = jax.lax.stop_gradient(py[0]).astype(jnp.float32)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    src_cm = jnp.transpose(src_feat, (2, 0, 1)).reshape(c, h * w)
+
+    def tap(xi, yi, wgt):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)  # (D, H, W)
+        vals = jnp.take(src_cm, idx, axis=1)  # (C, D, H, W)
+        return vals * (wgt * valid)[None]
+
+    warped = (
+        tap(x0i, y0i, (1 - wx) * (1 - wy))
+        + tap(x0i + 1, y0i, wx * (1 - wy))
+        + tap(x0i, y0i + 1, (1 - wx) * wy)
+        + tap(x0i + 1, y0i + 1, wx * wy)
+    )  # (C, D, H, W)
+    ref_cm = jnp.transpose(ref_feat, (2, 0, 1))  # (C, H, W)
+    prod = warped * ref_cm[:, None]
+    # channel c = k*groups + g with g fastest (reference view(b, c//2, 2)):
+    # mean over k within each group
+    d = depth_values.shape[0]
+    return prod.reshape(c // groups, groups, d, h, w).mean(0)
+
+
 def group_correlation(
     warped: jnp.ndarray, ref_feat: jnp.ndarray, groups: int = 2
 ) -> jnp.ndarray:

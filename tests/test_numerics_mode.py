@@ -37,10 +37,11 @@ def _assert_within_tol(report: dict) -> None:
     if "depth_epipolar_vs_default_mm" in report:
         # the epipolar default-eval gate (VERDICT r3 #5): full-res
         # depth-metric neutrality, pinned in tools/numerics_check.py
+        # (.get defaults cover artifacts from before the keys existed)
         e = report["depth_epipolar_vs_default_mm"]
-        assert e["mean"] <= tol["epi_mean_mm"], e
-        assert e["p99"] <= tol["epi_p99_mm"], e
-        assert e["max"] <= tol["epi_max_mm"], e
+        assert e["mean"] <= tol.get("epi_mean_mm", 0.5), e
+        assert e["p99"] <= tol.get("epi_p99_mm", 5.0), e
+        assert e["max"] <= tol.get("epi_max_mm", 60.0), e
 
 
 def test_numerics_artifact_within_tolerance():

@@ -93,6 +93,53 @@ def test_warp_src_feature_matches_torch_oracle(rng):
     )
 
 
+def test_plane_sweep_corr_cm_matches_reference(rng):
+    """The channel-major fallback (pixels-on-lanes; used as the Pallas
+    span-cond's XLA branch since the r4 364-GB train-compile OOM) must be
+    BIT-identical to group_correlation(warp(src), ref) in forward and in
+    both gradients."""
+    import jax
+
+    from dmvsnet_tpu.utils import synthetic
+
+    h, w, c, d = 24, 160, 8, 4
+    src = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+    cams = np.stack(
+        [synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2),
+         synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2,
+                                tx=-6.0, angle=0.01)]
+    )
+    fused = geometry.fuse_projection(jnp.asarray(cams[None]))[0]
+    rel = geometry.relative_projection(fused[1], fused[0])
+    dv = jnp.asarray(
+        np.sort(rng.uniform(400, 700, (d, h, w)).astype(np.float32), axis=0)
+    )
+    cot = jnp.asarray(rng.normal(size=(d, h, w, 2)).astype(np.float32))
+
+    def ref_path(s, r):
+        px, py = geometry.plane_sweep_coords(rel[None], dv[None], h, w)
+        px = jax.lax.stop_gradient(px)
+        py = jax.lax.stop_gradient(py)
+        warped = jax.vmap(warp.bilinear_sample)(s[None], px, py)
+        return warp.group_correlation(warped, r[None])[0]
+
+    def cm_path(s, r):
+        return jnp.transpose(
+            warp.plane_sweep_corr_cm(s, r, rel, dv), (1, 2, 3, 0)
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(cm_path(src, ref)), np.asarray(ref_path(src, ref))
+    )
+    g1 = jax.grad(lambda s, r: jnp.sum(ref_path(s, r) * cot), argnums=(0, 1))(src, ref)
+    g2 = jax.grad(lambda s, r: jnp.sum(cm_path(s, r) * cot), argnums=(0, 1))(src, ref)
+    for a, b, name in zip(g1, g2, ["src", "ref"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"grad mismatch: {name}"
+        )
+
+
 def test_group_correlation_matches_reference_view_semantics(rng):
     b, d, h, w, c = 1, 3, 4, 5, 8
     warped = rng.normal(size=(b, d, h, w, c)).astype(np.float32)

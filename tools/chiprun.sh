@@ -28,7 +28,12 @@ run2() {  # run2 <timeout> <cmd...>: retry once with DMA pipelining off
   run2 1800 python -u tools/tier_smoke.py
   echo "=== 2. bench train -> BENCH_TRAIN_r04.json ==="
   if [ ! -s BENCH_TRAIN_r04.json ]; then
-    run2 5400 python -u bench.py --train --iters=6 | tail -1 | tee BENCH_TRAIN_r04.json
+    { timeout 5400 python -u bench.py --train --iters=6 \
+      || { echo "RETRY with remat";
+           timeout 5400 python -u bench.py --train --iters=6 --remat; } \
+      || { echo "RETRY with remat + DMA pipelining off";
+           DMVSNET_DMA_PIPELINE=0 timeout 5400 python -u bench.py --train --iters=6 --remat; }
+    } | tail -1 | tee BENCH_TRAIN_r04.json
   fi
   echo "=== 3. bench default (warms the driver's exact program) ==="
   run2 5400 python -u bench.py --iters=8

@@ -85,6 +85,45 @@ def run_forward(height, width, precision, use_pallas, use_epipolar=False):
     return np.asarray(depth, np.float64), np.asarray(conf, np.float64)
 
 
+def epipolar_engagement(height, width):
+    """Per-(stage, view) booleans: does the 1-D sweep engage (vs falling
+    back to the 2-D kernel) for the synthetic scene's geometry?"""
+    import jax.numpy as jnp
+
+    from dmvsnet_tpu.core import geometry, sampling
+    from dmvsnet_tpu.ops.pallas.epipolar_sweep import sweep_engaged
+    from dmvsnet_tpu.utils import synthetic
+
+    batch = synthetic.make_batch(
+        batch=1, n_views=5, height=height, width=width, n_depths=192
+    )
+    proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
+    dv = jnp.asarray(batch["depth_values"])
+    out = {}
+    for s, (c, d) in enumerate(zip((32, 16, 8), (48, 32, 8))):
+        scale = 2 ** (2 - s)
+        sh, sw = height // scale, width // scale
+        stage = f"stage{s + 1}"
+        if s == 0:
+            samples, _ = sampling.stage1_samples(dv, d, sh, sw, inverse=True)
+        else:
+            mid = jnp.full((1, sh, sw), float(dv[0, dv.shape[1] // 2]))
+            samples, _ = sampling.cascade_samples(
+                mid, d,
+                jnp.float32((4, 2, 1)[s]) * (dv[0, -1] - dv[0, 0]) / dv.shape[1],
+                inverse=True,
+            )
+        fused = geometry.fuse_projection(proj[stage])[0]
+        out[stage] = [
+            sweep_engaged(
+                geometry.relative_projection(fused[v], fused[0]),
+                samples[0], sh, sw, c,
+            )
+            for v in range(1, 5)
+        ]
+    return out
+
+
 def stats(a, b):
     d = np.abs(a - b)
     return {
@@ -132,6 +171,11 @@ def main():
         report["epipolar_shape"] = [eh, ew]
         report["depth_epipolar_vs_default_mm"] = stats(d_epi, d_deff)
         report["conf_epipolar_vs_default"] = stats(c_epi, c_deff)
+        report["epipolar_engaged"] = epipolar_engagement(eh, ew)
+        # the comparison is only meaningful if the sweep actually ran:
+        # stages 1-2 of every view must engage on the synthetic scene
+        eng = report["epipolar_engaged"]
+        assert all(all(v for v in eng[st]) for st in ("stage1", "stage2")), eng
         report["tol"].update({
             "epi_mean_mm": EPI_TOL_MEAN_MM, "epi_p99_mm": EPI_TOL_P99_MM,
             "epi_max_mm": EPI_TOL_MAX_MM,
