@@ -145,6 +145,42 @@ def main():
         add(f"costreg_refine_part/s3{tag}",
             lambda x, v=v4, ref=ref: ref.apply(v, x), x4)
 
+    # ---- dual-branch fusion candidates (r4): CostRegNet runs cosR_small
+    # and cosR_huge as two independent 8-ch U-Nets on the SAME input.
+    # Concatenating the branches channel-wise and running every conv with
+    # feature_group_count=2 is one op at double the lane width with
+    # IDENTICAL flops/params — worth it iff XLA lowers grouped conv well.
+    # Probe all three forms at the level-0 and bottleneck shapes.
+    for (cin, cout, dshape) in [
+        (2, 8, (1, 8, H, W, 2)),          # level-0 (input shared verbatim)
+        (32, 64, (1, 1, H // 8, W // 8, 32)),  # bottleneck
+    ]:
+        x1 = jax.random.normal(key, dshape, jnp.float32)
+        x2 = jnp.concatenate([x1, x1], axis=-1)
+        ka = jax.random.normal(key, (3, 3, 3, cin, cout), jnp.float32)
+        kb = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, cin, cout),
+                               jnp.float32)
+        kcat = jnp.concatenate([ka, kb], axis=-1)  # grouped: I=cin, O=2cout
+        kdense = jax.random.normal(key, (3, 3, 3, 2 * cin, 2 * cout),
+                                   jnp.float32)
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+
+        def two(x, ka=ka, kb=kb, dn=dn):
+            a = jax.lax.conv_general_dilated(
+                x, ka, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn)
+            b = jax.lax.conv_general_dilated(
+                x, kb, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn)
+            return jnp.concatenate([a, b], axis=-1)
+
+        add(f"dual2x/{cin}->{cout} separate", two, x1)
+        add(f"dual2x/{cin}->{cout} grouped",
+            lambda x, k=kcat, dn=dn: jax.lax.conv_general_dilated(
+                x, k, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn,
+                feature_group_count=2), x2)
+        add(f"dual2x/{cin}->{cout} dense2x",
+            lambda x, k=kdense, dn=dn: jax.lax.conv_general_dilated(
+                x, k, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn), x2)
+
     # ---- refine3 full-res pieces ----
     conv_block(2, 8, 3, shape=(1, 4, H, W, 2), tag="/r3.conv0")
     deconv_block(16, 8, 3, (1, 2, H // 2, W // 2, 16), tag="/r3.deconv11")
