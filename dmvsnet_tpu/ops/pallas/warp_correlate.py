@@ -701,19 +701,27 @@ def _corr_view_tiled_safe(
             interpret, C_WIN, None, src_feat, ref_t, rel_proj, depth_values
         )
 
-    def xla_branch():
-        # channel-major formulation: identical math to
-        # group_correlation(warp(src), ref) but every intermediate and
-        # VJP residual keeps W on the lane axis — the flat-index form's
-        # backward pads its gather indices / (..., k, g) product 64-128x
-        # and OOM'd the r4 train compile at 364 GB (this branch is dead
-        # on DTU geometries but XLA still allocates its temps)
+    # The fallback is (a) channel-major — identical math to
+    # group_correlation(warp(src), ref) but every intermediate keeps W on
+    # the lane axis (the flat-index form's backward residuals pad 64-128x:
+    # 364 GB at the r4 train compile) — and (b) jax.checkpoint'ed: the
+    # gather indices would otherwise be SAVED RESIDUALS, one padded-s32
+    # 1.25 GB array per tap per instance, all simultaneously live at the
+    # fwd/bwd boundary (the 116 GB of the second r4 OOM; these branches
+    # are dead on DTU geometries but their residuals are still allocated).
+    # Checkpointing recomputes them inside each instance's backward region
+    # where the temps are transient and buffer-shared across instances.
+    @jax.checkpoint
+    def _fallback_cm(src_feat, ref_feat, rel_proj, depth_values):
         corr_cm = warp_ops.plane_sweep_corr_cm(
             src_feat, ref_feat, rel_proj, depth_values
         )  # (2, D, H, W)
         return _tile_out_cm(
             jnp.moveaxis(corr_cm, 0, 1).astype(jnp.float32), h, w, nh, nw
         )
+
+    def xla_branch():
+        return _fallback_cm(src_feat, ref_feat, rel_proj, depth_values)
 
     def wide_or_xla():
         return jax.lax.cond(ok, pallas_wide, xla_branch)
