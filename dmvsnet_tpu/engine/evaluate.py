@@ -61,74 +61,92 @@ def run_test(cfg: Config) -> None:
             inverse_depth=cfg.inverse_depth, fixed_hw=latched_hw,
         )
         eb = max(1, int(getattr(cfg, "eval_batch", 1)))
-        for start in range(0, len(ds), eb):
+
+        def load_batch(start):
             samples = [ds[i] for i in range(start, min(start + eb, len(ds)))]
             nreal = len(samples)
             # pad the tail batch by repetition: one compiled shape per
             # scene bucket, padded outputs discarded below
             samples = samples + [samples[-1]] * (eb - nreal)
-            imgs = jnp.asarray(np.stack([s["imgs"] for s in samples]))
+            imgs = np.stack([s["imgs"] for s in samples])
             proj = {
-                k: jnp.asarray(np.stack([s["proj_matrices"][k] for s in samples]))
+                k: np.stack([s["proj_matrices"][k] for s in samples])
                 for k in samples[0]["proj_matrices"]
             }
-            dv = jnp.asarray(np.stack([s["depth_values"] for s in samples]))
+            dvb = np.stack([s["depth_values"] for s in samples])
+            return samples, nreal, imgs, proj, dvb
 
-            if state is None:
-                # init once at the first sample's shapes; restore weights
-                batch = {"imgs": imgs, "proj_matrices": proj, "depth_values": dv}
-                state = create_train_state(
-                    model, jax.random.PRNGKey(0), batch,
-                    make_lr_schedule(1e-3, 1),
+        # one-batch-ahead prefetch: decode batch k+1 on a worker thread
+        # while the device runs batch k (the reference leans on torch
+        # DataLoader workers for this, model.py:330)
+        import concurrent.futures as _cf
+
+        starts = list(range(0, len(ds), eb))
+        with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+            futures = {starts[0]: pool.submit(load_batch, starts[0])} if starts else {}
+            for si, start in enumerate(starts):
+                samples, nreal, imgs_np, proj_np, dv_np = futures.pop(start).result()
+                if si + 1 < len(starts):
+                    futures[starts[si + 1]] = pool.submit(load_batch, starts[si + 1])
+                imgs = jnp.asarray(imgs_np)
+                proj = {k: jnp.asarray(v) for k, v in proj_np.items()}
+                dv = jnp.asarray(dv_np)
+
+                if state is None:
+                    # init once at the first sample's shapes; restore weights
+                    batch = {"imgs": imgs, "proj_matrices": proj, "depth_values": dv}
+                    state = create_train_state(
+                        model, jax.random.PRNGKey(0), batch,
+                        make_lr_schedule(1e-3, 1),
+                    )
+                    if cfg.resume:
+                        state, _ = ckpt_lib.restore_checkpoint(
+                            cfg.resume, state, weights_only=True
+                        )
+                    # params/FLOPs line (the reference's one-time thop print,
+                    # reference model.py:338-342)
+                    try:
+                        from dmvsnet_tpu.engine.profiler import model_summary
+
+                        s = model_summary(
+                            model,
+                            {"params": state.params, "batch_stats": state.batch_stats},
+                            imgs, proj, dv,
+                        )
+                        print(
+                            f"params: {s['params']:,}  flops: {s['flops']:.3e}  "
+                            f"bytes: {s['bytes_accessed']:.3e}", flush=True,
+                        )
+                    except Exception as e:  # cost analysis is best-effort
+                        print(f"model summary unavailable: {e}")
+
+                t0 = time.time()
+                depth_b, conf_b = infer(state, imgs, proj, dv)
+                depth_b = np.asarray(jax.block_until_ready(depth_b))
+                conf_b = np.asarray(conf_b)
+                print(
+                    f"{scene} [{start}..{start + nreal - 1}/{len(ds)}] "
+                    f"{depth_b.shape[1:]} {time.time() - t0:.3f}s", flush=True,
                 )
-                if cfg.resume:
-                    state, _ = ckpt_lib.restore_checkpoint(
-                        cfg.resume, state, weights_only=True
-                    )
-                # params/FLOPs line (the reference's one-time thop print,
-                # reference model.py:338-342)
-                try:
-                    from dmvsnet_tpu.engine.profiler import model_summary
 
-                    s = model_summary(
-                        model,
-                        {"params": state.params, "batch_stats": state.batch_stats},
-                        imgs, proj, dv,
+                for j in range(nreal):
+                    sample, depth, conf = samples[j], depth_b[j], conf_b[j]
+                    fname = sample["filename"]
+                    depth_path = os.path.join(cfg.outdir, fname.format("depth_est", ".pfm"))
+                    conf_path = os.path.join(cfg.outdir, fname.format("confidence", ".pfm"))
+                    cam_path = os.path.join(cfg.outdir, fname.format("cams", "_cam.txt"))
+                    img_path = os.path.join(cfg.outdir, fname.format("images", ".jpg"))
+                    io.save_pfm(depth_path, depth.astype(np.float32))
+                    io.save_pfm(conf_path, conf.astype(np.float32))
+                    io.write_cam_file(cam_path, sample["proj_matrices"]["stage3"][0])
+                    os.makedirs(os.path.dirname(img_path), exist_ok=True)
+                    cv2.imwrite(
+                        img_path,
+                        cv2.cvtColor(
+                            np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8),
+                            cv2.COLOR_RGB2BGR,
+                        ),
                     )
-                    print(
-                        f"params: {s['params']:,}  flops: {s['flops']:.3e}  "
-                        f"bytes: {s['bytes_accessed']:.3e}", flush=True,
-                    )
-                except Exception as e:  # cost analysis is best-effort
-                    print(f"model summary unavailable: {e}")
-
-            t0 = time.time()
-            depth_b, conf_b = infer(state, imgs, proj, dv)
-            depth_b = np.asarray(jax.block_until_ready(depth_b))
-            conf_b = np.asarray(conf_b)
-            print(
-                f"{scene} [{start}..{start + nreal - 1}/{len(ds)}] "
-                f"{depth_b.shape[1:]} {time.time() - t0:.3f}s", flush=True,
-            )
-
-            for j in range(nreal):
-                sample, depth, conf = samples[j], depth_b[j], conf_b[j]
-                fname = sample["filename"]
-                depth_path = os.path.join(cfg.outdir, fname.format("depth_est", ".pfm"))
-                conf_path = os.path.join(cfg.outdir, fname.format("confidence", ".pfm"))
-                cam_path = os.path.join(cfg.outdir, fname.format("cams", "_cam.txt"))
-                img_path = os.path.join(cfg.outdir, fname.format("images", ".jpg"))
-                io.save_pfm(depth_path, depth.astype(np.float32))
-                io.save_pfm(conf_path, conf.astype(np.float32))
-                io.write_cam_file(cam_path, sample["proj_matrices"]["stage3"][0])
-                os.makedirs(os.path.dirname(img_path), exist_ok=True)
-                cv2.imwrite(
-                    img_path,
-                    cv2.cvtColor(
-                        np.clip(sample["imgs"][0] * 255, 0, 255).astype(np.uint8),
-                        cv2.COLOR_RGB2BGR,
-                    ),
-                )
         if cfg.fix_res:
             latched_hw = ds.latched_hw
 
