@@ -39,6 +39,8 @@ run2() {  # run2 <timeout> <cmd...>: retry once with DMA pipelining off
   run2 5400 python -u bench.py --iters=8
   echo "=== 4. stagetime (roofline; folded A/Bs; epipolar entries) ==="
   run2 5400 python -u tools/stagetime.py --iters=12
+  echo "=== 4b. stagetime --grad (train fwd+bwd attribution) ==="
+  run2 5400 python -u tools/stagetime.py --grad --iters=6
   echo "=== 5. numerics check (DEFAULT vs HIGHEST vs XLA vs epipolar) ==="
   run2 7200 python -u tools/numerics_check.py --epipolar
   echo "=== 6. bench variants: B=2, B=4, epipolar ==="

@@ -172,9 +172,110 @@ def prefix_main(iters: int):
         json.dump([{"name": n, "ms": round(m, 3)} for n, m in results], f, indent=1)
 
 
+def grad_main(iters: int):
+    """Per-component fwd+bwd timing at the TRAIN recipe shapes (512x640,
+    batch 2, 5 views — reference scripts/train.sh): BENCH_TRAIN_r04
+    measured 7.6 s/step where composition of forwards predicts ~1 s, so
+    the backward of SOME component is pathological.  Times jax.grad of a
+    scalar through each piece in isolation; writes STAGETIME_grad.json."""
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_pallas
+
+    th, tw, b, v = 512, 640, 2, 5
+    key = jax.random.PRNGKey(0)
+    batch = synthetic.make_batch(batch=b, n_views=v, height=th, width=tw,
+                                 n_depths=192)
+    proj = {k: jnp.asarray(x) for k, x in batch["proj_matrices"].items()}
+    dv = jnp.asarray(batch["depth_values"])
+    entries = []
+
+    def add(name, fn, args, it=iters):
+        dt, compile_s = time_amortized(fn, args, it)
+        entries.append({"name": name, "ms": round(dt * 1e3, 3)})
+        print(f"{name:36s} {dt*1e3:9.3f} ms   (compile {compile_s:.1f}s)",
+              flush=True)
+
+    # feature net fwd vs fwd+bwd
+    imgs = jax.random.normal(key, (b * v, th, tw, 3), jnp.float32)
+    fnet = FeatureNet(8)
+    fvars = fnet.init(key, imgs[:1])
+
+    def feat_loss(imgs):
+        out = fnet.apply(fvars, imgs, True)
+        return sum(jnp.sum(o) for o in out.values())
+
+    add("train_feature_fwd", lambda x: feat_loss(x), (imgs,))
+    add("train_feature_fwdbwd", jax.grad(feat_loss), (imgs,))
+
+    depth_interval = (dv[0, -1] - dv[0, 0]) / dv.shape[1]
+    for s in range(3):
+        stage = f"stage{s+1}"
+        scale = 2 ** (2 - s)
+        sh, sw, c, d = th // scale, tw // scale, CHANNELS[s], NDEPTHS[s]
+        feats = [jax.random.normal(jax.random.PRNGKey(i), (b, sh, sw, c),
+                                   jnp.float32) for i in range(v)]
+        p2 = proj[stage]
+        if s == 0:
+            samples, _ = sampling.stage1_samples(dv, d, sh, sw, inverse=True)
+        else:
+            mid = jnp.full((b, sh, sw), float(dv[0, dv.shape[1] // 2]))
+            samples, _ = sampling.cascade_samples(
+                mid, d, jnp.float32(RATIOS[s]) * depth_interval, inverse=True)
+        samples = jax.block_until_ready(samples)
+
+        def warp_loss(f0, *rest, p2=p2, samples=samples):
+            return jnp.sum(aggregate_cost_volume_pallas([f0, *rest], p2, samples))
+
+        add(f"train_warp_{stage}_fwd", warp_loss, tuple(feats))
+        add(f"train_warp_{stage}_fwdbwd",
+            jax.grad(warp_loss, argnums=tuple(range(v))), tuple(feats))
+
+        dv4 = jnp.broadcast_to(samples[:, :4], (b, 4, sh, sw))
+
+        def warp_ref_loss(f0, *rest, p2=p2, dv4=dv4):
+            return jnp.sum(aggregate_cost_volume_pallas([f0, *rest], p2, dv4))
+
+        add(f"train_warp_{stage}_refine_fwdbwd",
+            jax.grad(warp_ref_loss, argnums=tuple(range(v))), tuple(feats),
+            it=max(2, iters // 2))
+
+        cost = jax.random.normal(key, (b, d, sh, sw, 2), jnp.float32)
+        reg = CostRegNet(8)
+        rv = reg.init(key, cost)
+
+        def reg_loss(cost, rv=rv, reg=reg):
+            return jnp.sum(reg.apply(rv, cost, True,
+                                     mutable=["batch_stats"])[0])
+
+        add(f"train_costreg_{stage}_fwdbwd", jax.grad(reg_loss), (cost,))
+
+        cost4 = jax.random.normal(key, (b, 4, sh, sw, 2), jnp.float32)
+        regr = CostRegNetRefine(8)
+        rvr = regr.init(key, cost4)
+
+        def regr_loss(cost4, rvr=rvr, regr=regr):
+            return jnp.sum(regr.apply(rvr, cost4, True,
+                                      mutable=["batch_stats"])[0])
+
+        add(f"train_costreg_refine_{stage}_fwdbwd", jax.grad(regr_loss),
+            (cost4,), it=max(2, iters // 2))
+
+    total = sum(e["ms"] for e in entries)
+    print(f"{'SUM':36s} {total:9.3f} ms")
+    with open("/root/repo/STAGETIME_grad.json", "w") as f:
+        json.dump(entries, f, indent=1)
+
+
 def main():
     iters = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--iters=")), 12))
     only = next((a.split("=")[1] for a in sys.argv if a.startswith("--only=")), "")
+    if "--grad" in sys.argv:
+        if "--exact" not in sys.argv:
+            from dmvsnet_tpu.ops.pallas import warp_correlate
+
+            warp_correlate.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+        grad_main(iters)
+        return
     if "--prefix" in sys.argv:
         if "--exact" not in sys.argv:
             from dmvsnet_tpu.ops.pallas import warp_correlate
