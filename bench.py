@@ -7,9 +7,11 @@ and prints ONE JSON line:
   {"metric": "dtu_depth_maps_per_s", "value": N, "unit": "maps/s",
    "vs_baseline": N}
 
-Flags: --no-pallas (XLA gather warp), --epipolar (rectified 1-D sweeps
-where valid), --exact (bit-exact fp32 MXU matmuls in the Pallas kernel),
---bf16, --iters=N, --train (training-step benchmark).
+Flags: --no-pallas (XLA gather warp), --no-epipolar (2-D Pallas kernel
+everywhere; the DEFAULT measures the shipped eval path — epipolar-
+rectified 1-D sweeps where valid, matching warp_impl=auto on TPU),
+--exact (bit-exact fp32 MXU matmuls in the Pallas kernel), --bf16,
+--iters=N, --batch=N, --train (training-step benchmark).
 
 Timing methodology: K full forwards run inside ONE jit dispatch (a
 lax.fori_loop whose carry perturbs the input so no iteration can be
@@ -195,8 +197,11 @@ def main():
 
     batch_size = int(next(
         (a.split("=")[1] for a in sys.argv if a.startswith("--batch=")), 1))
+    # default = the SHIPPED eval path (warp_impl=auto on TPU): epipolar
+    # 1-D sweeps with per-(view, stage) fallback to the 2-D kernel
+    use_epipolar = use_pallas and "--no-epipolar" not in sys.argv
     forward, args = build(dtype=dtype, use_pallas=use_pallas,
-                          use_epipolar="--epipolar" in sys.argv,
+                          use_epipolar=use_epipolar,
                           batch_size=batch_size)
     # FLOPs denominator: the CANONICAL program — all-unfolded (folding's
     # dense-fold FLOP inflation must not flatter MFU) and the XLA-warp
