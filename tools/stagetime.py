@@ -296,7 +296,7 @@ def main():
 
     entries = []
 
-    def add(name, fn, args, it=iters, cost_override=None):
+    def add(name, fn, args, it=iters, cost_override=None, default=None):
         if only and only not in name:
             return
         fl, by = cost_override if cost_override else costs_of(fn, args)
@@ -309,16 +309,19 @@ def main():
         bound = "mxu" if t_mxu >= t_hbm else "hbm"
         sol = roof_s / dt if roof_s == roof_s and dt > 0 else float("nan")
         # default_path: entries composing the shipped forward (bench.py
-        # sums only these for stage_ms); A/B alternates are tagged False
-        alt = ("warp_xla" in name or "warp_epi" in name
-               or "folded" in name or "unfolded" in name
-               or "costreg_part" in name)
+        # sums only these for stage_ms); A/B alternates are tagged False.
+        # Callers override via `default=` where name patterns lie (the
+        # shipped eval warp is EPIPOLAR at stages 1-2 since r4).
+        if default is None:
+            default = not ("warp_xla" in name or "warp_epi" in name
+                           or "folded" in name or "unfolded" in name
+                           or "bf16" in name or "costreg_part" in name)
         entries.append({"name": name, "ms": round(dt * 1e3, 3),
                         "flops": fl, "tflops_s": round(tf, 2),
                         "bytes": by, "gb_s": round(by / dt / 1e9, 1) if by == by else None,
                         "bound": bound, "roofline_ms": round(roof_s * 1e3, 3),
                         "sol_pct": round(sol * 100, 1) if sol == sol else None,
-                        "default_path": not alt})
+                        "default_path": bool(default)})
         print(f"{name:28s} {dt*1e3:9.3f} ms   {fl/1e9 if fl==fl else 0:9.2f} GF "
               f"{tf:7.2f} TF/s  {by/1e9 if by==by else 0:7.2f} GB "
               f"{bound}-bound {sol*100 if sol==sol else 0:5.1f}% SoL  "
@@ -370,7 +373,8 @@ def main():
             return aggregate_cost_volume_pallas([f0, *rest], p2, samples)
 
         add(f"warp_{stage} D={d}", warp_fn, tuple(feats),
-            cost_override=pallas_warp_cost(p2, samples, sh, sw, c))
+            cost_override=pallas_warp_cost(p2, samples, sh, sw, c),
+            default=(s == 2))  # the shipped eval warp is epipolar at s<2
 
         def warp_xla_fn(f0, *rest, p2=p2, samples=samples):
             return warp_ops.aggregate_cost_volume([f0, *rest], p2, samples)
@@ -383,7 +387,8 @@ def main():
             def warp_epi_fn(f0, *rest, p2=p2, samples=samples):
                 return aggregate_cost_volume_epipolar([f0, *rest], p2, samples)
 
-            add(f"warp_epi_{stage} D={d}", warp_epi_fn, tuple(feats))
+            add(f"warp_epi_{stage} D={d}", warp_epi_fn, tuple(feats),
+                default=True)  # the shipped eval path (warp_impl=auto)
 
         dv4 = jnp.broadcast_to(samples[:, :4], (1, 4, sh, sw))
 
@@ -401,6 +406,16 @@ def main():
             return reg.apply(rv, cost)
 
         add(f"costreg_{stage} D={d}", reg_fn, (cost,))
+        if s in (1, 2):  # bf16 A/B: stages 2-3 are hbm-bound at 84-139%
+            # SoL fp32 (r4 chip) — halving activation bytes is the lever
+            reg_h = CostRegNet(8, dtype=jnp.bfloat16)
+            rvh = reg_h.init(key, cost)
+
+            def reg_fn_h(cost, rv=rvh, reg=reg_h):
+                return reg.apply(rv, cost)
+
+            add(f"costreg_bf16_{stage}", reg_fn_h, (cost,),
+                it=max(2, iters // 2))
         if s == 2:  # folded-path A/B at the stage the fold activates
             reg_u = CostRegNet(8, fold_level0=False)
 
