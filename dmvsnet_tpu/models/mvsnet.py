@@ -71,6 +71,13 @@ class MVSNet(nn.Module):
     # trading ~1 extra forward of the U-Nets for several GB of HBM at the
     # 512x640 train recipe — enables larger per-chip batches.
     remat: bool = False
+    # Compute dtype for the cost-regularization U-Nets only (None =
+    # follow `dtype`).  The cost U-Nets are HBM-bound at 84-90% of their
+    # byte roofline in fp32 (STAGETIME r4) — bf16 activations halve the
+    # traffic while the fp32 BN islands and the fp32 soft-argmax heads
+    # (depth_net casts its input) bound the numerics.  Flip the eval
+    # default only behind the NUMERICS.json gate.
+    costreg_dtype: Any = None
     # Fold-layout override: None = each submodule's measured default
     # (feature net unfolded, cost U-Net level 0 folded); True/False forces
     # every fold switch.  Params/numerics identical either way — bench.py
@@ -112,6 +119,7 @@ class MVSNet(nn.Module):
         depth_interval = (depth_values[0, -1] - depth_values[0, 0]) / depth_values.shape[1]
 
         fold_kw = {} if self.fold_level0 is None else {"fold_level0": self.fold_level0}
+        cr_dtype = self.dtype if self.costreg_dtype is None else self.costreg_dtype
 
         # --- feature extraction: one batched call over B*V images ---
         feats = FeatureNet(self.base_channels, dtype=self.dtype, name="feature",
@@ -194,9 +202,9 @@ class MVSNet(nn.Module):
             reg_cls = (nn.remat(CostRegNet, static_argnums=(2,))
                        if self.remat else CostRegNet)
             cost_reg = reg_cls(
-                self.cr_base_channels[s], dtype=self.dtype, name=f"cost_reg_{s}",
+                self.cr_base_channels[s], dtype=cr_dtype, name=f"cost_reg_{s}",
                 **fold_kw,
-            )(cost.astype(self.dtype), train)
+            )(cost.astype(cr_dtype), train)
             if frac <= 0.7:
                 outputs["partial"] = cost_reg
                 break
@@ -213,9 +221,9 @@ class MVSNet(nn.Module):
                 if self.remat else CostRegNetRefine
             )
             cost_reg_c = regr_cls(
-                self.cr_base_channels[s], dtype=self.dtype,
+                self.cr_base_channels[s], dtype=cr_dtype,
                 name=f"cost_reg_refine_{s}", **fold_kw,
-            )(cost_c.astype(self.dtype), train)
+            )(cost_c.astype(cr_dtype), train)
             if frac <= 0.95:
                 outputs["partial"] = cost_reg_c
                 break

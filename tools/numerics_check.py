@@ -57,7 +57,10 @@ EPI_TOL_P99_MM = 5.0
 EPI_TOL_MAX_MM = 60.0
 
 
-def run_forward(height, width, precision, use_pallas, use_epipolar=False):
+def run_forward(height, width, precision, use_pallas, use_epipolar=False,
+                costreg_bf16=False):
+    import jax.numpy as jnp
+
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.ops.pallas import warp_correlate
     from dmvsnet_tpu.utils import synthetic
@@ -67,6 +70,7 @@ def run_forward(height, width, precision, use_pallas, use_epipolar=False):
         ndepths=(48, 32, 8), depth_interval_ratio=(4, 2, 1),
         inverse_depth=True, use_pallas_warp=use_pallas,
         use_epipolar_warp=use_epipolar,
+        costreg_dtype=jnp.bfloat16 if costreg_bf16 else None,
     )
     batch = synthetic.make_batch(
         batch=1, n_views=5, height=height, width=width, n_depths=192
@@ -180,6 +184,15 @@ def main():
             "epi_mean_mm": EPI_TOL_MEAN_MM, "epi_p99_mm": EPI_TOL_P99_MM,
             "epi_max_mm": EPI_TOL_MAX_MM,
         })
+    if "--costreg-bf16" in sys.argv:
+        # bf16 cost-U-Net candidate (STAGETIME r4: the U-Nets are
+        # HBM-bound; halving activation bytes is worth ~35 ms/map):
+        # gate its eval-default flip on full-model mm deltas here
+        d_cb, c_cb = run_forward(h, w, jax.lax.Precision.DEFAULT, True,
+                                 costreg_bf16=True)
+        report["depth_costreg_bf16_vs_default_mm"] = stats(d_cb, d_def)
+        report["conf_costreg_bf16_vs_default"] = stats(c_cb, c_def)
+
     print(json.dumps(report, indent=1))
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
