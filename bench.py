@@ -60,14 +60,15 @@ TRAIN_HEIGHT, TRAIN_WIDTH = 512, 640  # reference scripts/train.sh
 
 
 def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
-          use_pallas=False, use_epipolar=False, batch_size=1, fold=None):
+          use_pallas=False, use_epipolar=False, batch_size=1, fold=None,
+          costreg_dtype=None):
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas, use_epipolar_warp=use_epipolar,
-        fold_level0=fold,
+        fold_level0=fold, costreg_dtype=costreg_dtype,
     )
     batch = synthetic.make_batch(
         batch=batch_size, n_views=views, height=height, width=width,
@@ -202,7 +203,9 @@ def main():
     use_epipolar = use_pallas and "--no-epipolar" not in sys.argv
     forward, args = build(dtype=dtype, use_pallas=use_pallas,
                           use_epipolar=use_epipolar,
-                          batch_size=batch_size)
+                          batch_size=batch_size,
+                          costreg_dtype=jnp.bfloat16
+                          if "--costreg-bf16" in sys.argv else None)
     # FLOPs denominator: the CANONICAL program — all-unfolded (folding's
     # dense-fold FLOP inflation must not flatter MFU) and the XLA-warp
     # path (XLA's cost model sums BOTH branches of the Pallas span-check
