@@ -122,10 +122,23 @@ class MVSNet(nn.Module):
         cr_dtype = self.dtype if self.costreg_dtype is None else self.costreg_dtype
 
         # --- feature extraction: one batched call over B*V images ---
-        feats = FeatureNet(self.base_channels, dtype=self.dtype, name="feature",
-                           **fold_kw)(
-            imgs.reshape(b * v, h, w, imgs.shape[-1]), train
-        )
+        # (training keeps the single call: BN batch stats stay view- and
+        # batch-global).  At EVAL with B > 1 the call is chunked per batch
+        # element: XLA lays the full-res narrow-C conv temps out with
+        # N on sublanes / C on lanes (6.4-12.8x pad expansion — the B=2
+        # r4 chip OOM, 17.4 G > 15.75 G HBM), so temp size must be bounded
+        # by the per-element view count, not B*V.  Running stats make the
+        # chunked eval outputs identical to the batched ones.
+        fnet = FeatureNet(self.base_channels, dtype=self.dtype, name="feature",
+                          **fold_kw)
+        imgs_flat = imgs.reshape(b * v, h, w, imgs.shape[-1])
+        if train or b == 1:
+            feats = fnet(imgs_flat, train)
+        else:
+            chunks = [fnet(imgs_flat[bi * v:(bi + 1) * v], train)
+                      for bi in range(b)]
+            feats = {k: jnp.concatenate([c[k] for c in chunks], axis=0)
+                     for k in chunks[0]}
         feats = {k: f.reshape(b, v, *f.shape[1:]) for k, f in feats.items()}
 
         outputs: dict[str, Any] = {}
