@@ -196,8 +196,13 @@ def main():
         bench_train(dtype, use_pallas, iters)
         return
 
+    # Default batch 2 = the shipped eval configuration (config.py
+    # dtu_test preset eval_batch): the DTU protocol processes 49 ref
+    # views per scan, an embarrassingly batchable axis the runner feeds
+    # 2 at a time (B=4 exceeds v5e HBM at runtime).  Measured r4: B=1
+    # 3.15 maps/s, B=2 3.33.  The JSON records "batch" whenever != 1.
     batch_size = int(next(
-        (a.split("=")[1] for a in sys.argv if a.startswith("--batch=")), 1))
+        (a.split("=")[1] for a in sys.argv if a.startswith("--batch=")), 2))
     # default = the SHIPPED eval path (warp_impl=auto on TPU): epipolar
     # 1-D sweeps with per-(view, stage) fallback to the 2-D kernel
     use_epipolar = use_pallas and "--no-epipolar" not in sys.argv

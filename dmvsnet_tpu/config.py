@@ -106,6 +106,7 @@ PRESETS: dict[str, dict] = {
         max_h=864, max_w=1152, num_view=5, batch_size=1, testlist="test",
         numdepth=192, interval_scale=1.06, filter_method="pcd", thres_view=5,
         num_worker=1, inverse_depth=True, conf=(0.0, 0.0, 0.3),
+        eval_batch=2,  # 2 ref views per dispatch: +6% maps/s on v5e (r4)
     ),
     "tank_test": dict(
         dataset_name="general_eval", ndepths=(64, 32, 8), interval_ratio=(3, 2, 1),
