@@ -201,7 +201,7 @@ def grad_main(iters: int):
     fvars = fnet.init(key, imgs[:1])
 
     def feat_loss(imgs):
-        out = fnet.apply(fvars, imgs, True)
+        out, _ = fnet.apply(fvars, imgs, True, mutable=["batch_stats"])
         return sum(jnp.sum(o) for o in out.values())
 
     add("train_feature_fwd", lambda x: feat_loss(x), (imgs,))
