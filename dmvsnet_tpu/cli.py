@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--warp_impl", default=None,
                    choices=["auto", "pallas", "epipolar", "xla"])
+    p.add_argument("--costreg_dtype", default=None,
+                   choices=["auto", "float32", "bfloat16"])
     p.add_argument("--remat", action="store_true", default=None)
 
     # dataset

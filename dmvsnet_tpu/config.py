@@ -20,10 +20,15 @@ class Config:
     interval_ratio: Sequence[float] = (4.0, 2.0, 1.0)
     inverse_depth: bool = False
     compute_dtype: str = "float32"  # "bfloat16" for MXU-rate convs
-    # cost-volume warp implementation: "auto" = Pallas kernel on TPU,
-    # XLA gather elsewhere; "epipolar" adds eval-time rectified 1-D
-    # sweeps on top of the Pallas path (approximate, gated per view)
+    # cost-volume warp implementation: "auto" = epipolar 1-D sweeps for
+    # eval on TPU (numerics-gated; NUMERICS.json), Pallas 2-D kernel for
+    # training, XLA gather elsewhere
     warp_impl: str = "auto"  # auto | pallas | epipolar | xla
+    # compute dtype of the cost-regularization U-Nets: "auto" = bfloat16
+    # at EVAL on TPU (they are HBM-bound; halving activation bytes
+    # measured +8% maps/s, depth deltas gated in NUMERICS.json), float32
+    # for training
+    costreg_dtype: str = "auto"  # auto | float32 | bfloat16
     # rematerialize the cost U-Nets on backward (jax.checkpoint): trades
     # ~1 extra U-Net forward for several GB of activation HBM at the
     # full train recipe, enabling larger per-chip batches

@@ -39,7 +39,7 @@ def run_test(cfg: Config) -> None:
         scans = [os.path.basename(cfg.testpath_single_scene)]
     else:
         scans = resolve_scan_list(cfg.testlist, cfg.datapath)
-    model = build_model(cfg)
+    model = build_model(cfg, eval_mode=True)
     infer = make_infer_step()
     state = None
 

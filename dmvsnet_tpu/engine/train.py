@@ -44,7 +44,7 @@ class AverageMeter:
         return {k: v / max(self.count, 1) for k, v in self.sums.items()}
 
 
-def build_model(cfg: Config, mesh=None) -> MVSNet:
+def build_model(cfg: Config, mesh=None, eval_mode: bool = False) -> MVSNet:
     if cfg.fea_mode != "fpn":
         raise NotImplementedError(
             f"fea_mode={cfg.fea_mode!r}: only 'fpn' is implemented (the "
@@ -63,6 +63,16 @@ def build_model(cfg: Config, mesh=None) -> MVSNet:
         # the 2-D kernel's custom-VJP path for training (MVSNet ignores
         # use_epipolar_warp under train=True).
         impl = "epipolar" if jax.devices()[0].platform in ("tpu", "axon") else "xla"
+    crd = getattr(cfg, "costreg_dtype", "auto")
+    if crd == "auto":
+        # bf16 cost U-Nets at EVAL on TPU: they are HBM-bound (STAGETIME
+        # r4) so halving activation bytes measured +8% maps/s; depth-map
+        # deltas are gated by NUMERICS.json (depth_costreg_bf16_*).
+        # Training keeps fp32 (gradient quality untested in bf16).
+        crd = ("bfloat16" if eval_mode
+               and jax.devices()[0].platform in ("tpu", "axon")
+               else "float32")
+    costreg_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[crd]
     return MVSNet(
         ndepths=tuple(cfg.ndepths),
         depth_interval_ratio=tuple(cfg.interval_ratio),
@@ -70,6 +80,7 @@ def build_model(cfg: Config, mesh=None) -> MVSNet:
         dtype=dtype,
         use_pallas_warp=impl in ("pallas", "epipolar"),
         use_epipolar_warp=impl == "epipolar",
+        costreg_dtype=costreg_dtype,
         remat=cfg.remat,
         mesh=mesh,
     )

@@ -42,6 +42,12 @@ def _assert_within_tol(report: dict) -> None:
         assert e["mean"] <= tol.get("epi_mean_mm", 0.5), e
         assert e["p99"] <= tol.get("epi_p99_mm", 5.0), e
         assert e["max"] <= tol.get("epi_max_mm", 60.0), e
+    if "depth_costreg_bf16_vs_default_mm" in report:
+        # gates the bf16 cost-U-Net eval default (build_model auto mode)
+        e = report["depth_costreg_bf16_vs_default_mm"]
+        assert e["mean"] <= tol["mean_mm"], e
+        assert e["p99"] <= tol["p99_mm"], e
+        assert e["max"] <= tol["max_mm"], e
 
 
 def test_numerics_artifact_within_tolerance():

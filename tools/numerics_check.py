@@ -212,6 +212,13 @@ def main():
         assert s["mean"] <= EPI_TOL_MEAN_MM, s
         assert s["p99"] <= EPI_TOL_P99_MM, s
         assert s["max"] <= EPI_TOL_MAX_MM, s
+    if "depth_costreg_bf16_vs_default_mm" in report:
+        # the bf16 cost-U-Net eval default holds to the same bar as the
+        # Pallas DEFAULT-precision mode
+        s = report["depth_costreg_bf16_vs_default_mm"]
+        assert s["mean"] <= TOL_MEAN_MM, s
+        assert s["p99"] <= TOL_P99_MM, s
+        assert s["max"] <= TOL_MAX_MM, s
     print("numerics check OK")
 
 
