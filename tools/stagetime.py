@@ -342,6 +342,12 @@ def main():
         return fnet_f.apply(fvars, imgs)
 
     add("feature_net_folded", feat_fn_f, (imgs,), it=max(2, iters // 2))
+    fnet_h = FeatureNet(8, dtype=jnp.bfloat16)
+
+    def feat_fn_h(imgs):
+        return fnet_h.apply(fvars, imgs)
+
+    add("feature_net_bf16", feat_fn_h, (imgs,), it=max(2, iters // 2))
 
     # --- per-stage pieces ---
     depth_interval = (dv[0, -1] - dv[0, 0]) / dv.shape[1]
