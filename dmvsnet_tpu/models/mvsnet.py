@@ -202,6 +202,21 @@ class MVSNet(nn.Module):
                     cost, self.mesh, mesh_lib.spatial_spec(cost.ndim, h_axis=2)
                 )
 
+            if self.remat and train and self.agg_mode != "adaptive":
+                # checkpoint the warp too: the custom-VJP path otherwise
+                # saves the tiled reference / packed source / cost volume
+                # as residuals (~2 GB at the train recipe).  The step is
+                # HBM-capacity-bound on v5e — components sum to ~0.6 s but
+                # the composed step ran at 7.6 s from spill/compression
+                # thrash (STAGETIME_grad r4) — so trading a warp recompute
+                # for residual headroom is the right side of the roofline.
+                # (adaptive mode owns a flax submodule -> needs nn.remat;
+                # excluded until someone ships that mode for training)
+                _raw_cost_pass = cost_pass
+
+                def cost_pass(key_suffix, dv, _raw=_raw_cost_pass):
+                    return jax.checkpoint(lambda d: _raw(key_suffix, d))(dv)
+
             frac = self.run_stages - s if self.run_stages else 99.0
             if frac <= 0.3:
                 outputs["partial"] = samples
