@@ -177,6 +177,7 @@ def bench_train(dtype, use_pallas, iters: int) -> None:
                 if fl == fl else None,
                 "batch": 2,
                 "image": [TRAIN_HEIGHT, TRAIN_WIDTH],
+                "remat": "--remat" in sys.argv,
             }
         )
     )
