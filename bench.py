@@ -136,6 +136,11 @@ def bench_train(dtype, use_pallas, iters: int) -> None:
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas,
         remat="--remat" in sys.argv,
+        # --fold: folded layouts everywhere (incl. the feature net, which
+        # measured SLOWER at eval) — at TRAIN the 4x-channel layouts kill
+        # the 12.8x-padded conv temps/residuals that push the step over
+        # the HBM cliff (r4 trainprobe), so fold may win on memory
+        fold_level0=True if "--fold" in sys.argv else None,
     )
     batch_np = synthetic.make_batch(
         batch=2, n_views=VIEWS, height=TRAIN_HEIGHT, width=TRAIN_WIDTH,
