@@ -212,11 +212,13 @@ def main():
     # default = the SHIPPED eval path (warp_impl=auto on TPU): epipolar
     # 1-D sweeps with per-(view, stage) fallback to the 2-D kernel
     use_epipolar = use_pallas and "--no-epipolar" not in sys.argv
+    # bf16 cost U-Nets = the shipped eval default (build_model auto mode;
+    # numerics-gated in NUMERICS.json: max 0.002 mm)
+    crbf16 = "--no-costreg-bf16" not in sys.argv
     forward, args = build(dtype=dtype, use_pallas=use_pallas,
                           use_epipolar=use_epipolar,
                           batch_size=batch_size,
-                          costreg_dtype=jnp.bfloat16
-                          if "--costreg-bf16" in sys.argv else None)
+                          costreg_dtype=jnp.bfloat16 if crbf16 else None)
     # FLOPs denominator: the CANONICAL program — all-unfolded (folding's
     # dense-fold FLOP inflation must not flatter MFU) and the XLA-warp
     # path (XLA's cost model sums BOTH branches of the Pallas span-check
