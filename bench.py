@@ -61,7 +61,7 @@ TRAIN_HEIGHT, TRAIN_WIDTH = 512, 640  # reference scripts/train.sh
 
 def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
           use_pallas=False, use_epipolar=False, batch_size=1, fold=None,
-          costreg_dtype=None):
+          costreg_dtype=None, feature_dtype=None):
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
@@ -69,6 +69,7 @@ def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas, use_epipolar_warp=use_epipolar,
         fold_level0=fold, costreg_dtype=costreg_dtype,
+        feature_dtype=feature_dtype,
     )
     batch = synthetic.make_batch(
         batch=batch_size, n_views=views, height=height, width=width,
@@ -215,10 +216,15 @@ def main():
     # bf16 cost U-Nets = the shipped eval default (build_model auto mode;
     # numerics-gated in NUMERICS.json: max 0.002 mm)
     crbf16 = "--no-costreg-bf16" not in sys.argv
+    # bf16 feature FPN = the shipped eval default (build_model auto mode;
+    # outputs cast back to fp32 at the warp interface; numerics-gated in
+    # NUMERICS.json depth_feature_bf16_*)
+    ftbf16 = "--no-feature-bf16" not in sys.argv
     forward, args = build(dtype=dtype, use_pallas=use_pallas,
                           use_epipolar=use_epipolar,
                           batch_size=batch_size,
-                          costreg_dtype=jnp.bfloat16 if crbf16 else None)
+                          costreg_dtype=jnp.bfloat16 if crbf16 else None,
+                          feature_dtype=jnp.bfloat16 if ftbf16 else None)
     # FLOPs denominator: the CANONICAL program — all-unfolded (folding's
     # dense-fold FLOP inflation must not flatter MFU) and the XLA-warp
     # path (XLA's cost model sums BOTH branches of the Pallas span-check

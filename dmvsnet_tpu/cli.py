@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "epipolar", "xla"])
     p.add_argument("--costreg_dtype", default=None,
                    choices=["auto", "float32", "bfloat16"])
+    p.add_argument("--feature_dtype", default=None,
+                   choices=["auto", "float32", "bfloat16"])
     p.add_argument("--remat", action="store_true", default=None)
 
     # dataset

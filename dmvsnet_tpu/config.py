@@ -29,6 +29,11 @@ class Config:
     # measured +8% maps/s, depth deltas gated in NUMERICS.json), float32
     # for training
     costreg_dtype: str = "auto"  # auto | float32 | bfloat16
+    # compute dtype of the feature FPN: same auto policy as costreg_dtype
+    # (HBM-bound at 95% of its fp32 byte roofline, STAGETIME r4; outputs
+    # are cast back to fp32 at the warp interface, depth deltas gated in
+    # NUMERICS.json depth_feature_bf16_vs_default_mm)
+    feature_dtype: str = "auto"  # auto | float32 | bfloat16
     # rematerialize the cost U-Nets on backward (jax.checkpoint): trades
     # ~1 extra U-Net forward for several GB of activation HBM at the
     # full train recipe, enabling larger per-chip batches

@@ -73,6 +73,17 @@ def build_model(cfg: Config, mesh=None, eval_mode: bool = False) -> MVSNet:
                and jax.devices()[0].platform in ("tpu", "axon")
                else "float32")
     costreg_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[crd]
+    frd = getattr(cfg, "feature_dtype", "auto")
+    if frd == "auto":
+        # same policy as the cost U-Nets: the feature FPN is HBM-bound
+        # (95% of its fp32 byte roofline, STAGETIME r4), bf16 halves its
+        # activation traffic at eval; outputs are cast back to fp32 at
+        # the warp interface and gated by NUMERICS.json
+        # (depth_feature_bf16_*).  Training keeps fp32.
+        frd = ("bfloat16" if eval_mode
+               and jax.devices()[0].platform in ("tpu", "axon")
+               else "float32")
+    feature_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[frd]
     return MVSNet(
         ndepths=tuple(cfg.ndepths),
         depth_interval_ratio=tuple(cfg.interval_ratio),
@@ -81,6 +92,7 @@ def build_model(cfg: Config, mesh=None, eval_mode: bool = False) -> MVSNet:
         use_pallas_warp=impl in ("pallas", "epipolar"),
         use_epipolar_warp=impl == "epipolar",
         costreg_dtype=costreg_dtype,
+        feature_dtype=feature_dtype,
         remat=cfg.remat,
         mesh=mesh,
     )

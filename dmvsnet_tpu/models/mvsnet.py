@@ -78,6 +78,14 @@ class MVSNet(nn.Module):
     # (depth_net casts its input) bound the numerics.  Flip the eval
     # default only behind the NUMERICS.json gate.
     costreg_dtype: Any = None
+    # Compute dtype for the feature FPN only (None = follow `dtype`).
+    # Like the cost U-Nets it is HBM-bound (95% of its fp32 byte
+    # roofline, STAGETIME r4) so bf16 activations halve its traffic; the
+    # extracted feature maps are cast back to fp32 at the interface so
+    # warp/cost numerics see the same dtype contract either way.  Flip
+    # the eval default only behind the NUMERICS.json gate
+    # (depth_feature_bf16_vs_default_mm).
+    feature_dtype: Any = None
     # Fold-layout override: None = each submodule's measured default
     # (feature net unfolded, cost U-Net level 0 folded); True/False forces
     # every fold switch.  Params/numerics identical either way — bench.py
@@ -129,7 +137,8 @@ class MVSNet(nn.Module):
         # r4 chip OOM, 17.4 G > 15.75 G HBM), so temp size must be bounded
         # by the per-element view count, not B*V.  Running stats make the
         # chunked eval outputs identical to the batched ones.
-        fnet = FeatureNet(self.base_channels, dtype=self.dtype, name="feature",
+        f_dtype = self.dtype if self.feature_dtype is None else self.feature_dtype
+        fnet = FeatureNet(self.base_channels, dtype=f_dtype, name="feature",
                           **fold_kw)
         imgs_flat = imgs.reshape(b * v, h, w, imgs.shape[-1])
         if train or b == 1:
@@ -139,7 +148,8 @@ class MVSNet(nn.Module):
                       for bi in range(b)]
             feats = {k: jnp.concatenate([c[k] for c in chunks], axis=0)
                      for k in chunks[0]}
-        feats = {k: f.reshape(b, v, *f.shape[1:]) for k, f in feats.items()}
+        feats = {k: f.reshape(b, v, *f.shape[1:]).astype(self.dtype)
+                 for k, f in feats.items()}
 
         outputs: dict[str, Any] = {}
         last_depth = None

@@ -149,6 +149,30 @@ def test_mvsnet_jit_and_grad(rng):
     assert gnorm > 0
 
 
+def test_mvsnet_feature_bf16_close_to_fp32(rng):
+    """feature_dtype=bfloat16 (the TPU eval default via build_model auto
+    mode): params/tree structure identical to fp32, outputs fp32 at the
+    interface, and depth stays close to the fp32 path.  The hardware gate
+    is NUMERICS.json depth_feature_bf16_vs_default_mm."""
+    imgs, proj, dv = make_batch(rng)
+    proj_j = {k: jnp.asarray(p) for k, p in proj.items()}
+    m32 = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1))
+    m16 = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1),
+                 feature_dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), jnp.asarray(imgs), proj_j, jnp.asarray(dv))
+    v2 = m16.init(jax.random.PRNGKey(0), jnp.asarray(imgs), proj_j, jnp.asarray(dv))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    out32 = m32.apply(v, jnp.asarray(imgs), proj_j, jnp.asarray(dv))
+    out16 = m16.apply(v, jnp.asarray(imgs), proj_j, jnp.asarray(dv))
+    assert out16["depth"].dtype == out32["depth"].dtype
+    d32 = np.asarray(out32["depth"], np.float64)
+    d16 = np.asarray(out16["depth"], np.float64)
+    # depth unit = mm, hypothesis range 425-935: bf16 feature rounding
+    # must stay a small fraction of the stage-3 interval even untrained
+    assert np.abs(d16 - d32).mean() < 2.0
+    assert np.isfinite(d16).all()
+
+
 def test_mvsnet_adaptive_aggregation(rng):
     imgs, proj, dv = make_batch(rng, h=32, w=32, d0=16)
     model = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1), agg_mode="adaptive")

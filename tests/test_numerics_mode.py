@@ -48,6 +48,12 @@ def _assert_within_tol(report: dict) -> None:
         assert e["mean"] <= tol["mean_mm"], e
         assert e["p99"] <= tol["p99_mm"], e
         assert e["max"] <= tol["max_mm"], e
+    if "depth_feature_bf16_vs_default_mm" in report:
+        # gates the bf16 feature-FPN eval default (build_model auto mode)
+        e = report["depth_feature_bf16_vs_default_mm"]
+        assert e["mean"] <= tol["mean_mm"], e
+        assert e["p99"] <= tol["p99_mm"], e
+        assert e["max"] <= tol["max_mm"], e
 
 
 def test_numerics_artifact_within_tolerance():

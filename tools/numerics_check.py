@@ -58,7 +58,7 @@ EPI_TOL_MAX_MM = 60.0
 
 
 def run_forward(height, width, precision, use_pallas, use_epipolar=False,
-                costreg_bf16=False):
+                costreg_bf16=False, feature_bf16=False):
     import jax.numpy as jnp
 
     from dmvsnet_tpu.models import MVSNet
@@ -71,6 +71,7 @@ def run_forward(height, width, precision, use_pallas, use_epipolar=False,
         inverse_depth=True, use_pallas_warp=use_pallas,
         use_epipolar_warp=use_epipolar,
         costreg_dtype=jnp.bfloat16 if costreg_bf16 else None,
+        feature_dtype=jnp.bfloat16 if feature_bf16 else None,
     )
     batch = synthetic.make_batch(
         batch=1, n_views=5, height=height, width=width, n_depths=192
@@ -192,6 +193,15 @@ def main():
                                  costreg_bf16=True)
         report["depth_costreg_bf16_vs_default_mm"] = stats(d_cb, d_def)
         report["conf_costreg_bf16_vs_default"] = stats(c_cb, c_def)
+    if "--feature-bf16" in sys.argv:
+        # bf16 feature-FPN candidate (STAGETIME r4: the FPN is HBM-bound
+        # at 95% of its fp32 byte roofline): outputs cast back to fp32
+        # at the warp interface; gate its eval-default flip on
+        # full-model mm deltas here
+        d_fb, c_fb = run_forward(h, w, jax.lax.Precision.DEFAULT, True,
+                                 feature_bf16=True)
+        report["depth_feature_bf16_vs_default_mm"] = stats(d_fb, d_def)
+        report["conf_feature_bf16_vs_default"] = stats(c_fb, c_def)
 
     print(json.dumps(report, indent=1))
     with open(out_path, "w") as f:
