@@ -37,6 +37,15 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from dmvsnet_tpu.core.geometry import PRECISION, inv3
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3x3 matmul at exact fp32 (TPU DEFAULT precision is bf16 — see
+    core/geometry.py docstring; a bf16 pass here measured a constant
+    0.25-row rectification shift at H=96)."""
+    return jnp.matmul(a, b, precision=PRECISION)
+
 
 class Rectification(NamedTuple):
     h_ref: jnp.ndarray     # (3,3) ref pixel -> rect grid
@@ -83,9 +92,9 @@ def compute_rectification(
     rot = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], jnp.float32)
     rot = rot.at[0, 0].set(ct).at[0, 1].set(st).at[1, 0].set(-st).at[1, 1].set(ct)
     g = jnp.eye(3, dtype=jnp.float32).at[2, 0].set(-1.0 / f)
-    h0 = g @ rot @ trans
+    h0 = _mm(g, _mm(rot, trans))
 
-    hr0 = h0 @ m  # ref -> raw rect
+    hr0 = _mm(h0, m)  # ref -> raw rect
     corners_x = jnp.array([0.0, width - 1.0, 0.0, width - 1.0], jnp.float32)
     corners_y = jnp.array([0.0, 0.0, height - 1.0, height - 1.0], jnp.float32)
     xr, yr = apply_h(hr0, corners_x, corners_y)
@@ -104,15 +113,15 @@ def compute_rectification(
     ).at[0, 0].set(sxr).at[0, 2].set(txr).at[1, 1].set(sy).at[1, 2].set(ty)
     s_src = s_ref.at[0, 0].set(sxs).at[0, 2].set(txs)
 
-    h_ref = s_ref @ hr0
-    h_src = s_src @ h0
+    h_ref = _mm(s_ref, hr0)
+    h_src = _mm(s_src, h0)
 
     # px_inf(h_hat) affine: proj_x(S_src S_ref^{-1} h_hat)
-    a = s_src @ jnp.linalg.inv(s_ref)
+    a = _mm(s_src, inv3(s_ref))
     px_aff = a[0]
     # b(h_hat) = sxs * w0 * (row3 of h_ref^{-1}) . h_hat
-    w0 = (h0 @ t)[0]
-    g_row = jnp.linalg.inv(h_ref)[2]
+    w0 = jnp.matmul(h0, t, precision=PRECISION)[0]
+    g_row = inv3(h_ref)[2]
     b_aff = sxs * w0 * g_row
 
     return Rectification(
@@ -127,7 +136,7 @@ def rect_grid_coords(h: jnp.ndarray, height: int, width: int):
     hx = jnp.arange(width, dtype=jnp.float32)
     hy = jnp.arange(height, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(hx, hy)
-    return apply_h(jnp.linalg.inv(h), gx, gy)
+    return apply_h(inv3(h), gx, gy)
 
 
 def unrect_grid_coords(h: jnp.ndarray, height: int, width: int):

@@ -14,12 +14,46 @@ Conventions
 * Pixel coordinates are (x, y) with x along width, matching the
   reference's meshgrid convention (reference networks/module.py:227-231).
 * All math is float32: sub-millimetre depth precision at DTU scale
-  (~400-900 mm) does not survive bfloat16.
+  (~400-900 mm) does not survive bfloat16.  That is NOT automatic on
+  TPU: XLA lowers float32 dot/einsum at ``Precision.DEFAULT`` to bf16
+  MXU passes, which put ~0.2% relative error on every projection matrix
+  and every warp coordinate (measured: a constant 0.25-row shift in the
+  rectification at H=96 — invisible to A/B gates because both comparands
+  shared it; caught by the interpret-vs-compiled bisect, round 5).  All
+  contractions here therefore pin ``Precision.HIGHEST``, and 3x3
+  inverses use the closed-form adjugate (pure VPU arithmetic) instead of
+  LU.  These are tiny matrices — the cost is nil.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# exact fp32 for all geometry contractions (see module docstring)
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def inv3(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / det) — batched over leading
+    dims, pure elementwise arithmetic (no MXU, exact fp32)."""
+    m = a
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02)
+    c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
 
 
 def fuse_projection(proj2: jnp.ndarray) -> jnp.ndarray:
@@ -39,7 +73,8 @@ def fuse_projection(proj2: jnp.ndarray) -> jnp.ndarray:
     """
     ext = proj2[..., 0, :, :]
     intr = proj2[..., 1, :3, :3]
-    top = jnp.einsum("...ij,...jk->...ik", intr, ext[..., :3, :4])
+    top = jnp.einsum("...ij,...jk->...ik", intr, ext[..., :3, :4],
+                     precision=PRECISION)
     return jnp.concatenate([top, ext[..., 3:4, :]], axis=-2)
 
 
@@ -51,8 +86,10 @@ def invert_fused(fused: jnp.ndarray) -> jnp.ndarray:
     """
     a = fused[..., :3, :3]
     b = fused[..., :3, 3:4]
-    a_inv = jnp.linalg.inv(a)
-    top = jnp.concatenate([a_inv, -jnp.einsum("...ij,...jk->...ik", a_inv, b)], axis=-1)
+    a_inv = inv3(a)
+    top = jnp.concatenate(
+        [a_inv, -jnp.einsum("...ij,...jk->...ik", a_inv, b,
+                            precision=PRECISION)], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, 0.0, 1.0], fused.dtype), fused[..., :1, :].shape
     )
@@ -65,7 +102,8 @@ def relative_projection(src_fused: jnp.ndarray, ref_fused: jnp.ndarray) -> jnp.n
     Equivalent to ``torch.matmul(src_proj, torch.inverse(ref_proj))``
     (reference networks/module.py:223).
     """
-    return jnp.einsum("...ij,...jk->...ik", src_fused, invert_fused(ref_fused))
+    return jnp.einsum("...ij,...jk->...ik", src_fused, invert_fused(ref_fused),
+                      precision=PRECISION)
 
 
 def plane_sweep_coords(
@@ -99,7 +137,7 @@ def plane_sweep_coords(
     xyz = jnp.stack([jnp.tile(x, (height, 1)), jnp.tile(y[:, None], (1, width)), ones])
 
     # rot_xyz: (B, 3, H, W)
-    rot_xyz = jnp.einsum("bij,jhw->bihw", rot, xyz)
+    rot_xyz = jnp.einsum("bij,jhw->bihw", rot, xyz, precision=PRECISION)
     depth = jnp.broadcast_to(
         depth_values.reshape(b, d, 1, 1) if depth_values.ndim == 2 else depth_values,
         (b, d, height, width),
@@ -141,7 +179,8 @@ def reproject_pixels(
     x = jnp.arange(w, dtype=jnp.float32)
     ones = jnp.ones((h, w), jnp.float32)
     xyz = jnp.stack([jnp.tile(x, (h, 1)), jnp.tile(y[:, None], (1, w)), ones])
-    p = jnp.einsum("ij,jhw->ihw", rot, xyz) * depth_src[None] + trans[:, None, None]
+    p = (jnp.einsum("ij,jhw->ihw", rot, xyz, precision=PRECISION)
+         * depth_src[None] + trans[:, None, None])
     return px[0, 0], py[0, 0], p[2]
 
 
@@ -159,7 +198,7 @@ def backproject_to_world(
       (N, 3) world-space points.
     """
     uv1 = jnp.stack([x, y, jnp.ones_like(x)])  # (3, N)
-    cam = jnp.linalg.inv(intrinsics) @ (uv1 * depth[None])
+    cam = jnp.matmul(inv3(intrinsics), uv1 * depth[None], precision=PRECISION)
     cam_h = jnp.concatenate([cam, jnp.ones_like(cam[:1])], axis=0)
-    world = jnp.linalg.inv(extrinsics) @ cam_h
+    world = jnp.matmul(jnp.linalg.inv(extrinsics), cam_h, precision=PRECISION)
     return world[:3].T

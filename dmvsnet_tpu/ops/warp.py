@@ -107,7 +107,10 @@ def bilinear_sample_quad(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jn
     wts = jnp.stack(
         [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
     ) * covered[..., None]
-    return jnp.einsum("...t,...tc->...c", wts.astype(g.dtype), g)
+    # exact fp32: TPU DEFAULT precision would run this 4-tap contraction
+    # through bf16 MXU passes (core/geometry.py docstring)
+    return jnp.einsum("...t,...tc->...c", wts.astype(g.dtype), g,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # which bilinear path aggregate_cost_volume uses: "quad" (packed single
