@@ -122,17 +122,96 @@ def test_epipolar_falls_back_on_adversarial_geometry():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_epipolar_unsupported_channels_fall_back():
-    """c=8 (G=16 > BR): the 1-D sweep's static-row packing doesn't apply;
-    the view must route to the 2-D kernel and match XLA exactly."""
+def test_epipolar_c8_engages_and_is_exact_for_translation():
+    """c=8 (G=16 > BR=8): the offset row-mask packing (stage-3 feature
+    width) ENGAGES the 1-D sweep; for a pure-translation pair the
+    rectification is the identity so the result must equal the XLA path
+    exactly."""
+    from dmvsnet_tpu.ops.pallas.epipolar_sweep import sweep_engaged
+
     feats = [f[None] for f in _feats(8, n=2)]
+    rel_cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2, tx=-80.0),
+    ])
+    proj2 = jnp.asarray(rel_cams)[None]
+    _, _, depths = _inv_fan(8)
+    dv = depths[None]
+
+    fused = geometry.fuse_projection(proj2)
+    rel = geometry.relative_projection(fused[0, 1], fused[0, 0])
+    assert sweep_engaged(rel, depths, H, W, 8)
+
+    want = warp_ops.aggregate_cost_volume(feats, proj2, dv)
+    got = aggregate_cost_volume_epipolar(feats, proj2, dv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_epipolar_c8_rotated_matches_jnp_reference():
+    """c=8 under rotation: the g>BR kernel packing == the pure-jnp
+    rectified sweep (same rectify / 1-D lerp / correlate / un-rectify
+    algorithm)."""
+    feats = _feats(8)
+    rel = _cams(angle=0.05)
+    inv_lo, inv_step, depths = _inv_fan(8)
+
+    want = epipolar.rectified_sweep_corr_jnp(
+        feats[1], feats[0], rel, inv_lo, inv_step, 8
+    )
+    ref_t = warp_correlate._tile_ref(feats[0])
+    got = epipolar_corr_view(
+        feats[1], feats[0], ref_t, rel, depths, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_epipolar_refine_fan_engages_and_is_exact_for_translation():
+    """4-plane refine fans are arithmetic in DEPTH (every stack6 slice in
+    depth_net has step mx-mn): the depth-affine fan mode must engage the
+    sweep and, for pure translation (identity rectification), match the
+    XLA path exactly."""
+    from dmvsnet_tpu.ops.pallas.epipolar_sweep import sweep_engaged
+
+    feats = [f[None] for f in _feats(16, n=2)]
+    cams = np.stack([
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
+        synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2, tx=-80.0),
+    ])
+    proj2 = jnp.asarray(cams)[None]
+    # per-pixel arithmetic-in-depth 4-plane fan with a varying interval
+    # (the refine checkerboard's structure)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    mid = 600.0 + 40.0 * np.sin(gx / 17.0) * np.cos(gy / 13.0)
+    step = 6.0 + 2.0 * ((gx + gy) % 2)  # oscillating interval
+    ds = np.arange(4, dtype=np.float32) - 1.5
+    dv = jnp.asarray(
+        (mid[None] + ds[:, None, None] * step[None]).astype(np.float32)
+    )
+
+    fused = geometry.fuse_projection(proj2)
+    rel = geometry.relative_projection(fused[0, 1], fused[0, 0])
+    assert sweep_engaged(rel, dv, H, W, 16)
+
+    want = warp_ops.aggregate_cost_volume(feats, proj2, dv[None])
+    got = aggregate_cost_volume_epipolar(feats, proj2, dv[None],
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_epipolar_unchunkable_depth_count_falls_back():
+    """dpl=5 (folded channels 10: not decomposable into 64/32/16/8
+    chunks): must route to the 2-D kernel and match XLA exactly."""
+    feats = [f[None] for f in _feats(16, n=2)]
     rel_cams = np.stack([
         synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2),
         synthetic.camera_stack(1.2 * W, 1.2 * W, W / 2, H / 2,
                                tx=-80.0, angle=0.05),
     ])
     proj2 = jnp.asarray(rel_cams)[None]
-    _, _, depths = _inv_fan(8)
+    _, _, depths = _inv_fan(5)
     dv = depths[None]
 
     want = warp_ops.aggregate_cost_volume(feats, proj2, dv)
