@@ -138,8 +138,18 @@ class MVSNet(nn.Module):
         # by the per-element view count, not B*V.  Running stats make the
         # chunked eval outputs identical to the batched ones.
         f_dtype = self.dtype if self.feature_dtype is None else self.feature_dtype
-        fnet = FeatureNet(self.base_channels, dtype=f_dtype, name="feature",
-                          **fold_kw)
+        # remat: checkpoint the feature net too.  Its full-res narrow-C
+        # conv activations are the largest single block of backward
+        # residuals at the train recipe — XLA lays the b*v=10-batch C=8
+        # convs out N-minor (12.8x lane padding), so ~10 saved full-res
+        # activations cost O(10 GB) of padded HBM (the r4 train-step
+        # "components sum 0.6 s, composed runs 7 s" spill/compression
+        # cliff).  Checkpointing saves only the images and recomputes the
+        # FPN inside its backward region where temps are transient.
+        fnet_cls = (nn.remat(FeatureNet, static_argnums=(2,))
+                    if self.remat else FeatureNet)
+        fnet = fnet_cls(self.base_channels, dtype=f_dtype, name="feature",
+                        **fold_kw)
         imgs_flat = imgs.reshape(b * v, h, w, imgs.shape[-1])
         if train or b == 1:
             feats = fnet(imgs_flat, train)
