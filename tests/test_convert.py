@@ -115,3 +115,35 @@ def test_convert_round_trip_full_model(rng):
         jnp.asarray(batch["depth_values"]),
     )
     assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_export_state_dict_matches_reference_names_and_round_trips(rng):
+    """tools.convert_torch_ckpt.export_state_dict (flax -> torch) produces
+    exactly the reference's state_dict names/layouts (cross-checked against
+    this file's independent inverse mapping) and round-trips bitwise
+    through convert_state_dict."""
+    from convert_torch_ckpt import convert_state_dict, export_state_dict
+
+    batch = synthetic.make_batch(batch=1, n_views=2, height=32, width=32, n_depths=8)
+    model = MVSNet(ndepths=(8, 8, 8), depth_interval_ratio=(4, 2, 1))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["imgs"]),
+        {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()},
+        jnp.asarray(batch["depth_values"]),
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    sd = export_state_dict(params, stats)
+    want = _to_torch_names(params, stats)
+    assert set(sd) == set(want), set(sd) ^ set(want)
+    for k in want:
+        np.testing.assert_array_equal(sd[k], want[k], err_msg=k)
+
+    p2, s2 = convert_state_dict(sd)
+    for (ka, va), (kb, vb) in zip(sorted(_flatten(params)), sorted(_flatten(p2))):
+        assert ka == kb
+        np.testing.assert_array_equal(va, vb, err_msg=str(ka))
+    for (ka, va), (kb, vb) in zip(sorted(_flatten(stats)), sorted(_flatten(s2))):
+        assert ka == kb
+        np.testing.assert_array_equal(va, vb, err_msg=str(ka))

@@ -124,6 +124,100 @@ def convert_state_dict(sd: dict) -> tuple[dict, dict]:
     return params, stats
 
 
+def _flatten(tree: dict, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+def _unconvert_kernel(w: np.ndarray) -> np.ndarray:
+    """flax kernel -> torch conv weight (exact inverse of _convert_kernel;
+    the deconv I/O swap is folded into the same transpose)."""
+    if w.ndim == 4:   # (kh,kw,I,O) -> (O,I,kh,kw); deconv (kh,kw,O,I) -> (I,O,kh,kw)
+        return w.transpose(3, 2, 0, 1)
+    if w.ndim == 5:   # (kd,kh,kw,I,O) -> (O,I,kd,kh,kw)
+        return w.transpose(4, 3, 0, 1, 2)
+    raise ValueError(f"unexpected kernel rank {w.ndim}")
+
+
+_FEATURE_SEQ_INV = {v: k for k, v in _FEATURE_SEQ.items()}
+
+
+def export_state_dict(params: dict, stats: dict) -> dict:
+    """(params, batch_stats) -> a reference-layout torch state_dict
+    (numpy values; wrap with torch.from_numpy to load).  Exact inverse of
+    convert_state_dict — round-trip tested in tests/test_convert.py.
+    `num_batches_tracked` entries are omitted (the reference's own loader
+    ignores them, reference model.py:66-69); load with strict=False."""
+    sd: dict = {}
+
+    def emit(tpath: str, leaf: str, w: np.ndarray):
+        sd[f"{tpath}.{leaf}"] = w
+
+    for path, w in _flatten(params):
+        top = path[0]
+        if top == "feature":
+            block = path[1]
+            if block in _FEATURE_SEQ_INV:
+                seq, idx = _FEATURE_SEQ_INV[block]
+                tpath = f"feature.{seq}.{idx}"
+                sub = path[2]          # "conv" or "bn"
+            else:                      # heads: PlainConv wraps raw conv
+                tpath = f"feature.{block}"
+                sub = None if path[2] == "conv" else path[2]
+        elif top.startswith("cost_reg_refine_") or top.startswith("cost_reg_"):
+            refine = top.startswith("cost_reg_refine_")
+            stage = top.rsplit("_", 1)[1]
+            prefix = ("cost_regularization_refine" if refine
+                      else "cost_regularization")
+            branch, module = path[1], path[2]
+            if module == "prob":       # raw conv, no ".conv" in torch
+                tpath = f"{prefix}.{stage}.{branch}.{module}"
+                sub = None
+            else:
+                tpath = f"{prefix}.{stage}.{branch}.{module}"
+                sub = path[3]          # "conv" / "bn"
+                tpath = f"{tpath}.{sub}"
+                sub = "done"
+        else:
+            raise KeyError(f"cannot export parameter path {path!r}")
+
+        leaf = path[-1]
+        if leaf == "kernel":
+            w = _unconvert_kernel(w)
+            name = "weight"
+        elif leaf == "scale":
+            name = "weight"
+        elif leaf == "bias":
+            name = "bias"
+        else:
+            raise KeyError(f"unknown param leaf in {path!r}")
+
+        if sub == "done" or sub is None:
+            emit(tpath, name, w)
+        else:
+            emit(f"{tpath}.{sub}", name, w)
+
+    for path, w in _flatten(stats):
+        top = path[0]
+        leaf = path[-1]
+        name = {"mean": "running_mean", "var": "running_var"}[leaf]
+        if top == "feature":
+            seq, idx = _FEATURE_SEQ_INV[path[1]]
+            emit(f"feature.{seq}.{idx}.bn", name, w)
+        elif top.startswith("cost_reg"):
+            refine = top.startswith("cost_reg_refine_")
+            stage = top.rsplit("_", 1)[1]
+            prefix = ("cost_regularization_refine" if refine
+                      else "cost_regularization")
+            emit(f"{prefix}.{stage}.{path[1]}.{path[2]}.bn", name, w)
+        else:
+            raise KeyError(f"cannot export stat path {path!r}")
+    return sd
+
+
 def convert_file(ckpt_path: str, out_path: str) -> None:
     import torch
 
