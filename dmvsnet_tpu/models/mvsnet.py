@@ -151,11 +151,18 @@ class MVSNet(nn.Module):
         fnet = fnet_cls(self.base_channels, dtype=f_dtype, name="feature",
                         **fold_kw)
         imgs_flat = imgs.reshape(b * v, h, w, imgs.shape[-1])
-        if train or b == 1:
+        bv = b * v
+        # eval chunk cap: ~the DTU 5-view working set.  Running stats make
+        # any flat chunking exact, so the cap also bounds the T&T regime
+        # (11 views at <=2048x1080, tank_test preset) that a single call
+        # would OOM exactly like the r4 B=2 case.
+        if train or bv <= 6:
             feats = fnet(imgs_flat, train)
         else:
-            chunks = [fnet(imgs_flat[bi * v:(bi + 1) * v], train)
-                      for bi in range(b)]
+            n_chunks = (bv + 5) // 6
+            cs = (bv + n_chunks - 1) // n_chunks  # near-equal chunks <= 6
+            chunks = [fnet(imgs_flat[i:i + cs], train)
+                      for i in range(0, bv, cs)]
             feats = {k: jnp.concatenate([c[k] for c in chunks], axis=0)
                      for k in chunks[0]}
         feats = {k: f.reshape(b, v, *f.shape[1:]).astype(self.dtype)

@@ -79,6 +79,7 @@ def stage_projections(cams_full: np.ndarray, num_stage: int = 3) -> dict:
 def write_eval_scene(
     root: str, scan: str = "scan1", height: int = 128, width: int = 160,
     n_views: int = 5, depth: float = 600.0, seed: int = 0,
+    baseline: float = 12.0,
 ) -> None:
     """Materialize a general_eval-format scene directory:
     {scan}/images/*.jpg, {scan}/cams/*_cam.txt, {scan}/pair.txt
@@ -92,7 +93,8 @@ def write_eval_scene(
 
     from dmvsnet_tpu.data import io as data_io
 
-    imgs, cams, _ = render_plane_views(height, width, n_views, depth, seed)
+    imgs, cams, _ = render_plane_views(height, width, n_views, depth, seed,
+                                       baseline=baseline)
     scan_dir = os.path.join(root, scan)
     os.makedirs(os.path.join(scan_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(scan_dir, "cams"), exist_ok=True)

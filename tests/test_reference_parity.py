@@ -97,3 +97,50 @@ def test_full_model_matches_reference(reference_mvsnet, rng):
             np.asarray(j_out[s]["depth"]), t_out[s]["depth"].numpy(),
             atol=0.05, err_msg=f"{s} refine depth",
         )
+
+
+def test_chunked_eval_features_match_reference(reference_mvsnet, rng):
+    """b*v=7 > the eval feature-chunk cap (6): the flat-chunked feature
+    extraction (near-equal 4+3 chunks) must still match the reference,
+    which runs all views through one conv call — running BN stats make
+    chunking exact, this guards the chunk indexing."""
+    import torch
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo/tools")
+    from convert_torch_ckpt import convert_state_dict
+
+    from dmvsnet_tpu.models import MVSNet
+    from dmvsnet_tpu.utils import synthetic
+
+    torch.manual_seed(0)
+    ndepths, ratios = (8, 8, 8), (4, 2, 1)
+    tmodel = reference_mvsnet(
+        ndepths=list(ndepths), depth_interval_ratio=list(ratios),
+        fea_mode="fpn", agg_mode="variance", depth_mode="regression",
+        inverse_depth=True,
+    )
+    tmodel.eval()
+    params, stats = convert_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    )
+    batch = synthetic.make_batch(batch=1, n_views=7, height=64, width=96,
+                                 n_depths=32)
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(batch["imgs"].transpose(0, 1, 4, 2, 3).copy()),
+            {k: torch.from_numpy(v.copy())
+             for k, v in batch["proj_matrices"].items()},
+            torch.from_numpy(batch["depth_values"].copy()),
+        )
+    jmodel = MVSNet(ndepths=ndepths, depth_interval_ratio=ratios,
+                    inverse_depth=True)
+    j_out = jmodel.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(batch["imgs"]),
+        {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()},
+        jnp.asarray(batch["depth_values"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["depth"]), t_out["depth"].numpy(), atol=0.05,
+    )

@@ -42,7 +42,7 @@ run2() {  # run2 <timeout> <cmd...>: retry once with DMA pipelining off
   echo "=== 4b. stagetime --grad (train fwd+bwd attribution) ==="
   run2 5400 python -u tools/stagetime.py --grad --iters=6
   echo "=== 5. numerics check (DEFAULT vs HIGHEST vs XLA vs epipolar vs bf16-costreg) ==="
-  run2 7200 python -u tools/numerics_check.py --epipolar --costreg-bf16
+  run2 7200 python -u tools/numerics_check.py --epipolar --costreg-bf16 --feature-bf16
   echo "=== 6. bench variants: B=2, B=4, epipolar ==="
   run2 5400 python -u bench.py --iters=8 --batch=2 | tail -1 | tee BENCH_B2.json
   run2 5400 python -u bench.py --iters=8 --batch=4 | tail -1 | tee BENCH_B4.json

@@ -21,7 +21,7 @@ run2() {
   run2 5400 python -u tools/stagetime.py --grad --iters=6
   echo "=== C. bf16 costreg A/B: bench + numerics gate ==="
   run2 5400 python -u bench.py --iters=8 --costreg-bf16 | tail -1 | tee BENCH_CRBF16.json
-  run2 7200 python -u tools/numerics_check.py --epipolar --costreg-bf16
+  run2 7200 python -u tools/numerics_check.py --epipolar --costreg-bf16 --feature-bf16
   echo "=== D. opprobe (conv variant micro-probes incl. dual2x) ==="
   run2 3600 python -u tools/opprobe.py --iters=12
   date

@@ -92,7 +92,10 @@ def run_forward(height, width, precision, use_pallas, use_epipolar=False,
 
 def epipolar_engagement(height, width):
     """Per-(stage, view) booleans: does the 1-D sweep engage (vs falling
-    back to the 2-D kernel) for the synthetic scene's geometry?"""
+    back to the 2-D kernel) for the synthetic scene's geometry?  Both
+    cost passes are probed: the D-plane inverse-fan sweep and a
+    representative 4-plane refine fan (arithmetic in depth — the
+    checkerboard stacks' structure, depth_net.forward)."""
     import jax.numpy as jnp
 
     from dmvsnet_tpu.core import geometry, sampling
@@ -109,22 +112,28 @@ def epipolar_engagement(height, width):
         scale = 2 ** (2 - s)
         sh, sw = height // scale, width // scale
         stage = f"stage{s + 1}"
+        interval = (
+            jnp.float32((4, 2, 1)[s]) * (dv[0, -1] - dv[0, 0]) / dv.shape[1]
+        )
         if s == 0:
             samples, _ = sampling.stage1_samples(dv, d, sh, sw, inverse=True)
         else:
             mid = jnp.full((1, sh, sw), float(dv[0, dv.shape[1] // 2]))
             samples, _ = sampling.cascade_samples(
-                mid, d,
-                jnp.float32((4, 2, 1)[s]) * (dv[0, -1] - dv[0, 0]) / dv.shape[1],
-                inverse=True,
+                mid, d, interval, inverse=True,
             )
+        # representative refine fan: 4 planes arithmetic in depth about
+        # the mid hypothesis with the stage interval
+        mid_d = jnp.full((sh, sw), float(dv[0, dv.shape[1] // 2]))
+        ds4 = jnp.arange(4, dtype=jnp.float32) - 1.5
+        refine_fan = mid_d[None] + ds4[:, None, None] * interval
         fused = geometry.fuse_projection(proj[stage])[0]
-        out[stage] = [
-            sweep_engaged(
-                geometry.relative_projection(fused[v], fused[0]),
-                samples[0], sh, sw, c,
-            )
-            for v in range(1, 5)
+        rels = [geometry.relative_projection(fused[v], fused[0])
+                for v in range(1, 5)]
+        out[stage] = [sweep_engaged(rel, samples[0], sh, sw, c)
+                      for rel in rels]
+        out[stage + "_refine"] = [
+            sweep_engaged(rel, refine_fan, sh, sw, c) for rel in rels
         ]
     return out
 
@@ -136,6 +145,65 @@ def stats(a, b):
         "p99": float(np.percentile(d, 99)),
         "max": float(d.max()),
     }
+
+
+# Max warp-coordinate error (px) the device geometry may carry vs an
+# exact float64 host computation.  On chip, XLA's DEFAULT precision runs
+# fp32 contractions as bf16 MXU passes: before round 5 pinned
+# Precision.HIGHEST in core/geometry.py, the measured error here was
+# ~0.2% of the coordinate magnitude (whole pixels at full res) — shared
+# by every on-chip path, so no A/B gate could see it.
+TOL_GEOM_PX = 1e-2
+
+
+def geometry_precision(height, width):
+    """Device warp coordinates + rectification vs float64 numpy."""
+    import jax.numpy as jnp
+
+    from dmvsnet_tpu.core import epipolar, geometry
+    from dmvsnet_tpu.utils import synthetic
+
+    batch = synthetic.make_batch(
+        batch=1, n_views=5, height=height, width=width, n_depths=192
+    )
+    proj = np.asarray(batch["proj_matrices"]["stage3"], np.float64)[0]
+    dv = np.asarray(batch["depth_values"], np.float64)[0]
+
+    # float64 host reference
+    def fuse64(p2):
+        top = p2[1, :3, :3] @ p2[0, :3, :4]
+        return np.vstack([top, p2[0, 3:4, :]])
+
+    ref64 = fuse64(proj[0])
+    src64 = fuse64(proj[1])
+    rel64 = src64 @ np.linalg.inv(ref64)
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    rays = np.stack([xs, ys, np.ones_like(xs)])
+    d0 = dv[0]
+    p = np.einsum("ij,jhw->ihw", rel64[:3, :3], rays) * d0 + rel64[:3, 3][:, None, None]
+    px64, py64 = p[0] / p[2], p[1] / p[2]
+
+    proj_j = jnp.asarray(proj, jnp.float32)[None]
+    fused = geometry.fuse_projection(proj_j)
+    rel = geometry.relative_projection(fused[:, 1], fused[:, 0])
+    px, py = geometry.plane_sweep_coords(
+        rel, jnp.asarray([[d0]], jnp.float32), height, width
+    )
+    e_coords = float(max(np.abs(np.asarray(px[0, 0], np.float64) - px64).max(),
+                         np.abs(np.asarray(py[0, 0], np.float64) - py64).max()))
+
+    rect = epipolar.compute_rectification(rel[0], height, width)
+    rxx, rxy = epipolar.rect_grid_coords(rect.h_ref, height, width)
+    # float64 rectification reference re-derives only the grid mapping:
+    # device h_ref itself is checked through the grid (inv3 + apply_h)
+    h64 = np.asarray(rect.h_ref, np.float64)
+    hinv = np.linalg.inv(h64)
+    den = hinv[2, 0] * xs + hinv[2, 1] * ys + hinv[2, 2]
+    rx64 = (hinv[0, 0] * xs + hinv[0, 1] * ys + hinv[0, 2]) / den
+    ry64 = (hinv[1, 0] * xs + hinv[1, 1] * ys + hinv[1, 2]) / den
+    e_rect = float(max(np.abs(np.asarray(rxx, np.float64) - rx64).max(),
+                       np.abs(np.asarray(rxy, np.float64) - ry64).max()))
+    return {"warp_coords_px": e_coords, "rect_grid_px": e_rect}
 
 
 def main():
@@ -153,6 +221,7 @@ def main():
     report = {
         "platform": jax.devices()[0].platform,
         "shape": [h, w],
+        "geometry_precision_px": geometry_precision(h, w),
         "depth_default_vs_highest_mm": stats(d_def, d_hi),
         "depth_pallas_vs_xla_mm": stats(d_hi, d_xla),
         "conf_default_vs_highest": stats(c_def, c_hi),
@@ -207,6 +276,9 @@ def main():
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
 
+    gp = report["geometry_precision_px"]
+    assert gp["warp_coords_px"] <= TOL_GEOM_PX, gp
+    assert gp["rect_grid_px"] <= TOL_GEOM_PX, gp
     s = report["depth_default_vs_highest_mm"]
     assert s["mean"] <= TOL_MEAN_MM, s
     assert s["p99"] <= TOL_P99_MM, s
@@ -222,13 +294,17 @@ def main():
         assert s["mean"] <= EPI_TOL_MEAN_MM, s
         assert s["p99"] <= EPI_TOL_P99_MM, s
         assert s["max"] <= EPI_TOL_MAX_MM, s
-    if "depth_costreg_bf16_vs_default_mm" in report:
-        # the bf16 cost-U-Net eval default holds to the same bar as the
-        # Pallas DEFAULT-precision mode
-        s = report["depth_costreg_bf16_vs_default_mm"]
-        assert s["mean"] <= TOL_MEAN_MM, s
-        assert s["p99"] <= TOL_P99_MM, s
-        assert s["max"] <= TOL_MAX_MM, s
+    # the bf16 eval defaults (cost U-Nets, feature FPN) hold to the same
+    # bar as the Pallas DEFAULT-precision mode — depth AND confidence
+    for key in ("costreg_bf16", "feature_bf16"):
+        if f"depth_{key}_vs_default_mm" not in report:
+            continue
+        s = report[f"depth_{key}_vs_default_mm"]
+        assert s["mean"] <= TOL_MEAN_MM, (key, s)
+        assert s["p99"] <= TOL_P99_MM, (key, s)
+        assert s["max"] <= TOL_MAX_MM, (key, s)
+        c = report[f"conf_{key}_vs_default"]
+        assert c["mean"] <= TOL_CONF_MEAN, (key, c)
     print("numerics check OK")
 
 
