@@ -38,6 +38,10 @@ def test_two_process_train_step(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)
+    # The worker runs by absolute path, so sys.path[0] is tests/ — make the
+    # repo root importable regardless of whether the package is pip-installed.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
 
     procs = [
