@@ -78,7 +78,11 @@ def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
     imgs = jnp.asarray(batch["imgs"])
     proj = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()}
     dv = jnp.asarray(batch["depth_values"])
-    variables = model.init(jax.random.PRNGKey(0), imgs, proj, dv)
+    # jit the init: eager flax init executes the whole forward op-by-op —
+    # thousands of ~25 ms tunnel dispatches on this harness (the dominant
+    # cold-start cost).  One jitted program compiles once and lands in
+    # the persistent cache.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, proj, dv)
 
     def forward(params, batch_stats, imgs, proj, dv):
         out = model.apply(
@@ -143,8 +147,12 @@ def bench_train(dtype, use_pallas, iters: int) -> None:
         # the HBM cliff (r4 trainprobe), so fold may win on memory
         fold_level0=True if "--fold" in sys.argv else None,
     )
+    train_b = int(next(
+        (a.split("=")[1] for a in sys.argv if a.startswith("--train-batch=")),
+        2,
+    ))
     batch_np = synthetic.make_batch(
-        batch=2, n_views=VIEWS, height=TRAIN_HEIGHT, width=TRAIN_WIDTH,
+        batch=train_b, n_views=VIEWS, height=TRAIN_HEIGHT, width=TRAIN_WIDTH,
         n_depths=192,
     )
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
@@ -165,6 +173,19 @@ def bench_train(dtype, use_pallas, iters: int) -> None:
         )
 
     fl = flops_of(lambda s, b: step(s, b)[1]["loss"], (state, batch))
+    # XLA's own peak-memory accounting for the benchmark program (the
+    # fori_loop of fused steps — same HLO the timing runs, so the AOT
+    # compile below is a cache hit, not a second compile).  The composed-
+    # step slowness on v5e is an HBM-capacity cliff (VERDICT r4 #3), so
+    # the peak is reported next to steps/s (temp+args vs the ~15.75 GB
+    # v5e budget; v5p's 95 GB swallows it and runs at component speed).
+    try:
+        ma = many.lower(jnp.int32(1), state, batch).compile().memory_analysis()
+        peak_gb = round(
+            (ma.temp_size_in_bytes + ma.argument_size_in_bytes) / 1e9, 2
+        )
+    except Exception:
+        peak_gb = None
     _, chk = many(jnp.int32(1), state, batch)
     float(np.asarray(chk))  # compile + warm
     t0 = time.perf_counter()
@@ -181,9 +202,11 @@ def bench_train(dtype, use_pallas, iters: int) -> None:
                 "flops_per_step": fl,
                 "mfu": round(fl * steps_per_s / V5E_PEAK_FLOPS, 4)
                 if fl == fl else None,
-                "batch": 2,
+                "batch": train_b,
                 "image": [TRAIN_HEIGHT, TRAIN_WIDTH],
                 "remat": "--remat" in sys.argv,
+                "dtype": str(jnp.dtype(dtype).name),
+                "hbm_peak_gb": peak_gb,
             }
         )
     )

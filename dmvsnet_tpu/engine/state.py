@@ -79,7 +79,14 @@ def make_optimizer(
 def create_train_state(
     model, rng, sample_batch, lr_schedule, weight_decay: float = 0.0
 ) -> TrainState:
-    variables = model.init(
+    # Single-process: jit the init — eager flax init executes the whole
+    # forward op-by-op (thousands of ~25 ms tunnel dispatches on the
+    # remote-TPU harness); one jitted program compiles once and is
+    # persistently cached.  Multi-process paths keep the eager init: the
+    # model may carry a multi-host mesh whose sharding constraints can't
+    # be satisfied by a process-local jit over unsharded sample arrays.
+    init = model.init if jax.process_count() > 1 else jax.jit(model.init)
+    variables = init(
         rng,
         sample_batch["imgs"],
         sample_batch["proj_matrices"],

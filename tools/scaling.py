@@ -141,7 +141,7 @@ def sp_parity(height=864, width=1152, ndepths=(48, 32, 8)):
             ndepths=ndepths, depth_interval_ratio=(4, 2, 1),
             inverse_depth=True, mesh=mesh,
         )
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
             batch["depth_values"],
         )

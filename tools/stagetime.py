@@ -132,7 +132,8 @@ def prefix_main(iters: int):
 
     full = MVSNet(ndepths=NDEPTHS, depth_interval_ratio=RATIOS,
                   inverse_depth=True, use_pallas_warp=True)
-    variables = full.init(jax.random.PRNGKey(0), imgs, proj, dv)
+    # jitted init: one cached compile instead of eager per-op dispatches
+    variables = jax.jit(full.init)(jax.random.PRNGKey(0), imgs, proj, dv)
 
     results = []
     # feature net alone, as composed (B*V batched call)
