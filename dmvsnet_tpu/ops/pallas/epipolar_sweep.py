@@ -636,6 +636,10 @@ def aggregate_cost_volume_epipolar(
         interpret = INTERPRET
     b = features[0].shape[0]
     h, w = features[0].shape[1:3]
+    # fp32 kernel contract (same as warp_correlate): the sweep / resample
+    # kernels and their DMA scratch are fp32-typed; upcast bf16 callers
+    features = [f.astype(jnp.float32) for f in features]
+    depth_values = depth_values.astype(jnp.float32)
     if depth_values.ndim == 2:
         depth_values = jnp.broadcast_to(
             depth_values[:, :, None, None], (b, depth_values.shape[1], h, w)

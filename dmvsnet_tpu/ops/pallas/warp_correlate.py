@@ -781,6 +781,14 @@ def plane_sweep_corr_view(
       rounding) to group_correlation(warp(src), ref).
     """
     h, w, _ = src_feat.shape
+    # the kernel is fp32-typed end to end (VMEM scratch, DMA windows,
+    # outputs); bf16 callers (mixed-precision training) are upcast here —
+    # the band matmuls already run one-bf16-pass internally via DEFAULT
+    # precision, so this costs layout only, and autodiff returns the
+    # cotangents in the caller's dtype through the astype
+    src_feat = src_feat.astype(jnp.float32)
+    ref_feat = ref_feat.astype(jnp.float32)
+    depth_values = depth_values.astype(jnp.float32)
     ref_t = _tile_ref(ref_feat)
     out = _corr_view_tiled_safe(
         interpret, src_feat, ref_feat, ref_t, rel_proj, depth_values
@@ -801,6 +809,9 @@ def aggregate_cost_volume_pallas(
     """
     b = features[0].shape[0]
     h, w = features[0].shape[1:3]
+    # fp32 kernel contract (see corr_view): upcast bf16 training inputs
+    features = [f.astype(jnp.float32) for f in features]
+    depth_values = depth_values.astype(jnp.float32)
     if depth_values.ndim == 2:
         depth_values = jnp.broadcast_to(
             depth_values[:, :, None, None], (b, depth_values.shape[1], h, w)

@@ -219,3 +219,44 @@ def test_wide_baseline_falls_back_and_matches_xla(rng):
         np.sort(rng.uniform(400, 700, (b, d, h, w)).astype(np.float32), axis=1)
     )
     assert bool(wc._span_ok(rel_ok, dv_ok[0], h, w, c))
+
+
+def test_pallas_bf16_inputs_upcast_and_grad(rng):
+    """bf16 training inputs (mixed-precision model dtype) must route
+    through the fp32-typed kernel without a DMA element-type mismatch:
+    the entry upcasts, the result is fp32, and the gradient comes back
+    in the caller's bf16 dtype (chip repro: 'tpu.enqueue_dma' op DMA
+    source and target element type mismatch, CHIPRUN5.log r5)."""
+    import jax
+
+    b, h, w, c, d = 1, 24, 160, 8, 4
+    feats32 = [
+        jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for _ in range(3)
+    ]
+    feats = [f.astype(jnp.bfloat16) for f in feats32]
+    cams = np.stack(
+        [synthetic.camera_stack(1.2 * w, 1.2 * w, w / 2, h / 2,
+                                tx=-6.0 * i, angle=0.012 * i) for i in range(3)]
+    )
+    proj2 = jnp.asarray(cams[None])
+    dv = jnp.asarray(
+        np.sort(rng.uniform(400, 700, (b, d, h, w)).astype(np.float32), axis=1)
+    )
+    out = aggregate_cost_volume_pallas(feats, proj2, dv, interpret=True)
+    assert out.dtype == jnp.float32
+    ref = np.asarray(
+        W.aggregate_cost_volume([f.astype(jnp.float32) for f in feats],
+                                proj2, dv)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def loss(f0, f1, f2):
+        o = aggregate_cost_volume_pallas([f0, f1, f2], proj2, dv,
+                                         interpret=True)
+        return jnp.sum(o)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(*feats)
+    for gi in g:
+        assert gi.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(gi.astype(jnp.float32))))

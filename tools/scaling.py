@@ -124,6 +124,51 @@ def dp8_isolation(height=128, width=160, ndepths=(16, 8, 8), iters=6):
     return res
 
 
+def dp8_work_sweep(ndepths=(16, 8, 8), iters=4):
+    """Grow per-device work and watch the dp8 overhead ratio (sharded /
+    same-work-unsharded).  The virtual-CPU mesh pays a FIXED per-step
+    cost per device execution (thread-pool scheduling + a GSPMD barrier
+    at every BN psum — ~100 sync points/step shared by 8 device threads
+    on oversubscribed cores).  If the collapse were a property of the
+    partition itself the ratio would stay flat as work grows; a falling
+    ratio pins it on fixed host overhead that real multi-chip meshes
+    (one process per chip, hardware collectives over ICI) never pay."""
+
+    def timed(mesh, n_batch, height, width):
+        model = MVSNet(
+            ndepths=ndepths, depth_interval_ratio=(4, 2, 1),
+            inverse_depth=True, mesh=mesh,
+        )
+        batch_np = synthetic.make_batch(
+            batch=n_batch, n_views=3, height=height, width=width, n_depths=48
+        )
+        batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+        lr = make_lr_schedule(1e-3, steps_per_epoch=10)
+        state = create_train_state(model, jax.random.PRNGKey(0), batch, lr)
+        step = make_train_step(lr_schedule=lr)
+        sharded = shard_batch(batch, mesh) if mesh is not None else batch
+        state, scalars, _ = step(state, sharded)
+        float(scalars["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, scalars, _ = step(state, sharded)
+        float(scalars["loss"])
+        return (time.perf_counter() - t0) / iters
+
+    rows = []
+    for h, w in ((64, 96), (128, 160), (256, 320)):
+        t_1dev = timed(None, 8, h, w)
+        t_dp8 = timed(make_mesh(n_data=8, n_spatial=1), 8, h, w)
+        rows.append({
+            "height": h, "width": w,
+            "single_device_b8_s": round(t_1dev, 4),
+            "dp8_sharded_b8_s": round(t_dp8, 4),
+            "overhead_ratio": round(t_dp8 / t_1dev, 3),
+        })
+        print(rows[-1], flush=True)
+    return rows
+
+
 def sp_parity(height=864, width=1152, ndepths=(48, 32, 8)):
     """sp=2 sharded single-sample inference vs unsharded, full DTU res.
 
@@ -174,6 +219,8 @@ def main():
         out["sp_parity_full_res"] = sp_parity()
     elif "--dp-isolate" in sys.argv:
         out["dp8_isolation"] = dp8_isolation()
+    elif "--dp-sweep" in sys.argv:
+        out["dp8_work_sweep"] = dp8_work_sweep()
     else:
         out["dp_weak_scaling_cpu"] = dp_weak_scaling()
     path = "/root/repo/SCALING.json"

@@ -379,23 +379,24 @@ def main():
         def warp_fn(f0, *rest, p2=p2, samples=samples):
             return aggregate_cost_volume_pallas([f0, *rest], p2, samples)
 
+        # 2-D kernel: A/B row — the shipped eval warp is EPIPOLAR at
+        # every stage since r5 (mvsnet.py cost_pass, warp_impl=auto)
         add(f"warp_{stage} D={d}", warp_fn, tuple(feats),
             cost_override=pallas_warp_cost(p2, samples, sh, sw, c),
-            default=(s == 2))  # the shipped eval warp is epipolar at s<2
+            default=False)
 
         def warp_xla_fn(f0, *rest, p2=p2, samples=samples):
             return warp_ops.aggregate_cost_volume([f0, *rest], p2, samples)
 
         add(f"warp_xla_{stage} D={d}", warp_xla_fn, tuple(feats), it=max(2, iters // 4))
 
-        if s < 2:  # epipolar 1-D sweep applies at c=32/16 (stages 1-2)
-            from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_epipolar
+        from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_epipolar
 
-            def warp_epi_fn(f0, *rest, p2=p2, samples=samples):
-                return aggregate_cost_volume_epipolar([f0, *rest], p2, samples)
+        def warp_epi_fn(f0, *rest, p2=p2, samples=samples):
+            return aggregate_cost_volume_epipolar([f0, *rest], p2, samples)
 
-            add(f"warp_epi_{stage} D={d}", warp_epi_fn, tuple(feats),
-                default=True)  # the shipped eval path (warp_impl=auto)
+        add(f"warp_epi_{stage} D={d}", warp_epi_fn, tuple(feats),
+            default=True)  # the shipped eval path (warp_impl=auto)
 
         dv4 = jnp.broadcast_to(samples[:, :4], (1, 4, sh, sw))
 
@@ -403,7 +404,14 @@ def main():
             return aggregate_cost_volume_pallas([f0, *rest], p2, dv4)
 
         add(f"warp_{stage}_refine D=4", warp_ref_fn, tuple(feats),
-            cost_override=pallas_warp_cost(p2, dv4, sh, sw, c))
+            cost_override=pallas_warp_cost(p2, dv4, sh, sw, c),
+            default=False)
+
+        def warp_epi_ref_fn(f0, *rest, p2=p2, dv4=dv4):
+            return aggregate_cost_volume_epipolar([f0, *rest], p2, dv4)
+
+        add(f"warp_epi_{stage}_refine D=4", warp_epi_ref_fn, tuple(feats),
+            default=True)  # shipped: refine fans are epipolar too (r5)
 
         cost = jax.random.normal(key, (1, d, sh, sw, 2), jnp.float32)
         reg = CostRegNet(8)
