@@ -63,10 +63,16 @@ def main():
     from dmvsnet_tpu.utils import synthetic
 
     warp_correlate.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+    n_batch = int(next((a.split("=")[1] for a in sys.argv
+                        if a.startswith("--batch=")), 2))
     model = MVSNet(ndepths=(48, 32, 8), depth_interval_ratio=(4, 2, 1),
                    inverse_depth=True, use_pallas_warp=True, remat=remat)
-    batch_np = synthetic.make_batch(batch=2, n_views=5, height=512,
-                                    width=640, n_depths=192)
+    hh = int(next((a.split("=")[1] for a in sys.argv
+                   if a.startswith("--height=")), 512))
+    ww = int(next((a.split("=")[1] for a in sys.argv
+                   if a.startswith("--width=")), 640))
+    batch_np = synthetic.make_batch(batch=n_batch, n_views=5, height=hh,
+                                    width=ww, n_depths=192)
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     lr = make_lr_schedule(1e-3, steps_per_epoch=1000)
     state = create_train_state(model, jax.random.PRNGKey(0), batch, lr)
@@ -89,6 +95,21 @@ def main():
     results["fwd"] = round(dt * 1e3, 1)
     print(f"fwd     {dt*1e3:9.1f} ms  (compile {c:.0f}s)", flush=True)
 
+    def fwd_eval_mode(imgs):
+        # same shapes/program as `fwd` but train=False: BN uses running
+        # stats (folded scale-shift) instead of batch statistics.  A/Bs
+        # whether the composed-fwd slowdown is the BN train-mode graph.
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, batch["proj_matrices"], batch["depth_values"], train=False,
+        )
+        return mvs_loss(out, batch["depth"], batch["mask"], "regression",
+                        (0.5, 1.0, 2.0))
+
+    dt, c = time_amortized(fwd_eval_mode, (batch["imgs"],), iters)
+    results["fwd_eval_mode"] = round(dt * 1e3, 1)
+    print(f"fwd_eval_mode {dt*1e3:9.1f} ms  (compile {c:.0f}s)", flush=True)
+
     def fwdbwd(imgs):
         l, g = jax.value_and_grad(
             lambda p: loss_of(p, state.batch_stats, imgs))(state.params)
@@ -98,6 +119,65 @@ def main():
     dt, c = time_amortized(fwdbwd, (batch["imgs"],), iters)
     results["fwdbwd"] = round(dt * 1e3, 1)
     print(f"fwdbwd  {dt*1e3:9.1f} ms  (compile {c:.0f}s)", flush=True)
+
+    # ---- bisect rows: is the extra composed-bwd time in mvs_loss or in
+    # the model's own backward?  (STAGETIME_grad sums only feature/warp/
+    # costreg — loss/heads/sampling bwd were never in the parts sum.)
+    def raw_outputs(params, batch_stats, imgs):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, batch["proj_matrices"], batch["depth_values"],
+            train=True, mutable=["batch_stats"],
+        )
+        return out
+
+    def fwdbwd_noloss(imgs):
+        def scalar_of(p):
+            out = raw_outputs(p, state.batch_stats, imgs)
+            # full-model cotangents without mvs_loss internals: a fixed
+            # pseudo-loss over exactly the tensors mvs_loss consumes
+            acc = jnp.float32(0.0)
+            for k in out:
+                if k.startswith("stage"):
+                    acc = acc + jnp.sum(jnp.sin(out[k]["depth_sub_plus"] * 1e-3))
+                    acc = acc + jnp.sum(
+                        jnp.sin(out[k]["depth_sub_plus_refine"] * 1e-3))
+            return acc
+
+        l, g = jax.value_and_grad(scalar_of)(state.params)
+        return l + jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), g, jnp.float32(0.0))
+
+    dt, c = time_amortized(fwdbwd_noloss, (batch["imgs"],), iters)
+    results["fwdbwd_noloss"] = round(dt * 1e3, 1)
+    print(f"fwdbwd_noloss {dt*1e3:9.1f} ms  (compile {c:.0f}s)", flush=True)
+
+    # loss-only fwd+bwd: model outputs fixed as jit ARGS (layout-clean
+    # program entry, like every STAGETIME_grad component row)
+    out_all = jax.jit(raw_outputs)(state.params, state.batch_stats,
+                                   batch["imgs"])
+    out_fixed = jax.block_until_ready({
+        k: {"depth_sub_plus": v["depth_sub_plus"],
+            "depth_sub_plus_refine": v["depth_sub_plus_refine"]}
+        for k, v in out_all.items()
+        if isinstance(v, dict) and "depth_sub_plus" in v
+    })
+
+    def loss_only(d1sub, outputs):
+        outputs = dict(outputs)
+        s1 = dict(outputs["stage1"])
+        s1["depth_sub_plus"] = d1sub  # perturbed via the amortizing carry
+        outputs["stage1"] = s1
+        l, g = jax.value_and_grad(
+            lambda o: mvs_loss(o, batch["depth"], batch["mask"],
+                               "regression", (0.5, 1.0, 2.0)))(outputs)
+        return l + jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), g, jnp.float32(0.0))
+
+    dt, c = time_amortized(
+        loss_only, (out_fixed["stage1"]["depth_sub_plus"], out_fixed), iters)
+    results["loss_only_fwdbwd"] = round(dt * 1e3, 1)
+    print(f"loss_only_fwdbwd {dt*1e3:9.1f} ms  (compile {c:.0f}s)", flush=True)
 
     @jax.jit
     def many_step(n, st):
@@ -120,6 +200,8 @@ def main():
     print(f"step    {dt*1e3:9.1f} ms  (compile {c:.0f}s)", flush=True)
 
     results["remat"] = remat
+    results["batch"] = n_batch
+    results["image"] = [hh, ww]
     with open("/root/repo/TRAINPROBE.json", "w") as f:
         json.dump(results, f, indent=1)
 
