@@ -65,11 +65,16 @@ def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
+    # routing A/B flags: --no-epi-refine (refine fans on the 2-D kernel),
+    # --no-epi-stage3 (stage 3 main pass on the 2-D kernel)
+    epi_refine = () if "--no-epi-refine" in sys.argv else (0, 1, 2)
+    epi_main = (0, 1) if "--no-epi-stage3" in sys.argv else (0, 1, 2)
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas, use_epipolar_warp=use_epipolar,
         fold_level0=fold, costreg_dtype=costreg_dtype,
         feature_dtype=feature_dtype,
+        epipolar_main_stages=epi_main, epipolar_refine_stages=epi_refine,
     )
     batch = synthetic.make_batch(
         batch=batch_size, n_views=views, height=height, width=width,

@@ -170,11 +170,20 @@ class ConvBlock(nn.Module):
                 name="conv",
             )(x)
         if self.bn:
+            # Train: statistics and normalization in fp32 (parity with the
+            # torch recipe; stats are fp32 buffers either way).  Eval: BN
+            # is a constant affine of the running stats, so compute it in
+            # the block dtype — under bf16 nets this keeps the conv ->
+            # scale-shift -> relu chain entirely bf16 (XLA fuses it into
+            # the conv epilogue) instead of paying fp32 convert pairs and
+            # fp32 HBM traffic around every conv (the reason bf16 nets
+            # measured only 3-11% despite byte-halved rooflines, r4/r5
+            # STAGETIME).  Numerics-gated: NUMERICS.json *_bf16 keys.
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - self.bn_momentum,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=jnp.float32 if train else self.dtype,
                 name="bn",
             )(x)
         if self.relu:
@@ -219,11 +228,12 @@ class DeconvBlock(nn.Module):
             name="conv",
         )(x)
         if self.bn:
+            # fp32 in train, block-dtype affine in eval — see ConvBlock
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - self.bn_momentum,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=jnp.float32 if train else self.dtype,
                 name="bn",
             )(x)
         if self.relu:

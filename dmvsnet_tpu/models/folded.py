@@ -237,15 +237,21 @@ class FoldedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            xr = x.astype(jnp.float32).reshape(*x.shape[:-1], g, c)
-            axes = tuple(range(xr.ndim - 1))
-            mean = jnp.mean(xr, axis=axes)
-            var = jnp.mean(jnp.square(xr), axis=axes) - jnp.square(mean)
-            if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+            # constant affine of the running stats: fold scale/shift in
+            # fp32, apply in the INPUT dtype — bf16 nets keep their conv
+            # -> scale-shift -> relu traffic bf16 (see blocks.ConvBlock)
+            inv = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            shift = bias - ra_mean.value * inv
+            inv_f = jnp.tile(inv, g).astype(x.dtype)
+            shift_f = jnp.tile(shift, g).astype(x.dtype)
+            return x * inv_f + shift_f
+        xr = x.astype(jnp.float32).reshape(*x.shape[:-1], g, c)
+        axes = tuple(range(xr.ndim - 1))
+        mean = jnp.mean(xr, axis=axes)
+        var = jnp.mean(jnp.square(xr), axis=axes) - jnp.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         mean_f = jnp.tile(mean, g)
         inv_f = jnp.tile(scale * jax.lax.rsqrt(var + self.epsilon), g)
         bias_f = jnp.tile(bias, g)
@@ -361,7 +367,7 @@ class FoldedConvBlock(nn.Module):
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=1.0 - self.bn_momentum, epsilon=1e-5,
-                    dtype=jnp.float32, name="bn",
+                    dtype=jnp.float32 if train else self.dtype, name="bn",
                 )(x)
         if self.relu:
             x = nn.relu(x)

@@ -59,6 +59,15 @@ class MVSNet(nn.Module):
     # falls back to the 2-D kernel.  Approximate (two extra resamples);
     # ignored under train=True (no VJP on this path).
     use_epipolar_warp: bool = False
+    # Per-(stage, pass) epipolar routing (only consulted when
+    # use_epipolar_warp): stage indices whose MAIN / REFINE cost pass use
+    # the rectified 1-D sweep; others keep the 2-D kernel.  The sweep's
+    # fixed rectify/resample overhead amortizes over the plane count, so
+    # shallow fans (the 4-plane refine passes, the 8-plane stage 3) can
+    # measure slower than the 2-D kernel — these knobs let the shipped
+    # routing follow STAGETIME A/B data per pass instead of all-or-none.
+    epipolar_main_stages: tuple = (0, 1, 2)
+    epipolar_refine_stages: tuple = (0, 1, 2)
     dtype: Any = jnp.float32
     # Optional jax.sharding.Mesh with (dp, sp) axes: batch over dp, the
     # image-height axis of cost volumes over sp (GSPMD halo-exchanges the
@@ -213,7 +222,9 @@ class MVSNet(nn.Module):
                         views, proj2, dv, self.mesh,
                         use_pallas=self.use_pallas_warp,
                     )
-                elif self.use_epipolar_warp and not train:
+                elif (self.use_epipolar_warp and not train
+                      and s in (self.epipolar_refine_stages if key_suffix
+                                else self.epipolar_main_stages)):
                     from dmvsnet_tpu.ops.pallas.epipolar_sweep import (
                         aggregate_cost_volume_epipolar,
                     )
