@@ -65,10 +65,11 @@ def build(dtype=jnp.float32, height=HEIGHT, width=WIDTH, views=VIEWS,
     from dmvsnet_tpu.models import MVSNet
     from dmvsnet_tpu.utils import synthetic
 
-    # routing A/B flags: --no-epi-refine (refine fans on the 2-D kernel),
-    # --no-epi-stage3 (stage 3 main pass on the 2-D kernel)
-    epi_refine = () if "--no-epi-refine" in sys.argv else (0, 1, 2)
-    epi_main = (0, 1) if "--no-epi-stage3" in sys.argv else (0, 1, 2)
+    # routing A/B flags vs the measured defaults (main epi at s1-2 only,
+    # refine fans 2-D): --epi-refine / --epi-stage3 force the sweep back
+    # onto the shallow fans it measurably loses (STAGETIME r5)
+    epi_refine = (0, 1, 2) if "--epi-refine" in sys.argv else ()
+    epi_main = (0, 1, 2) if "--epi-stage3" in sys.argv else (0, 1)
     model = MVSNet(
         ndepths=NDEPTHS, depth_interval_ratio=(4, 2, 1), inverse_depth=True,
         dtype=dtype, use_pallas_warp=use_pallas, use_epipolar_warp=use_epipolar,

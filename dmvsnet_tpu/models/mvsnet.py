@@ -62,12 +62,14 @@ class MVSNet(nn.Module):
     # Per-(stage, pass) epipolar routing (only consulted when
     # use_epipolar_warp): stage indices whose MAIN / REFINE cost pass use
     # the rectified 1-D sweep; others keep the 2-D kernel.  The sweep's
-    # fixed rectify/resample overhead amortizes over the plane count, so
-    # shallow fans (the 4-plane refine passes, the 8-plane stage 3) can
-    # measure slower than the 2-D kernel — these knobs let the shipped
-    # routing follow STAGETIME A/B data per pass instead of all-or-none.
-    epipolar_main_stages: tuple = (0, 1, 2)
-    epipolar_refine_stages: tuple = (0, 1, 2)
+    # fixed rectify/resample overhead amortizes over the plane count —
+    # chip A/B (STAGETIME r5, 864x1152, ms/map): main s1 23.0 epi vs
+    # 28.3 2-D, s2 34.4 vs 55.4 (epi WINS deep fans), but s3 50.2 vs
+    # 35.0 and refine fans 6.3/12.0/39.7 epi vs 4.7/8.4/19.6 2-D (epi
+    # LOSES shallow fans: D=8 and D=4 cannot amortize the two extra
+    # full-res resamples).  Defaults = the measured winners.
+    epipolar_main_stages: tuple = (0, 1)
+    epipolar_refine_stages: tuple = ()
     dtype: Any = jnp.float32
     # Optional jax.sharding.Mesh with (dp, sp) axes: batch over dp, the
     # image-height axis of cost volumes over sp (GSPMD halo-exchanges the

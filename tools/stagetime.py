@@ -336,7 +336,7 @@ def main():
     def feat_fn(imgs):
         return fnet.apply(fvars, imgs)
 
-    add("feature_net(5 views)", feat_fn, (imgs,))
+    add("feature_net(5 views)", feat_fn, (imgs,), default=False)  # fp32 A/B
     fnet_f = FeatureNet(8, fold_level0=True)
 
     def feat_fn_f(imgs):
@@ -348,7 +348,9 @@ def main():
     def feat_fn_h(imgs):
         return fnet_h.apply(fvars, imgs)
 
-    add("feature_net_bf16", feat_fn_h, (imgs,), it=max(2, iters // 2))
+    # shipped eval feature net is bf16 (feature_dtype auto on TPU)
+    add("feature_net_bf16", feat_fn_h, (imgs,), it=max(2, iters // 2),
+        default=True)
 
     # --- per-stage pieces ---
     depth_interval = (dv[0, -1] - dv[0, 0]) / dv.shape[1]
@@ -379,16 +381,21 @@ def main():
         def warp_fn(f0, *rest, p2=p2, samples=samples):
             return aggregate_cost_volume_pallas([f0, *rest], p2, samples)
 
-        # 2-D kernel: A/B row — the shipped eval warp is EPIPOLAR at
-        # every stage since r5 (mvsnet.py cost_pass, warp_impl=auto)
+        # shipped routing (mvsnet.py epipolar_main_stages, measured r5):
+        # main pass epipolar at s1-2, 2-D kernel at s3
         add(f"warp_{stage} D={d}", warp_fn, tuple(feats),
             cost_override=pallas_warp_cost(p2, samples, sh, sw, c),
-            default=False)
+            default=(s == 2))
 
         def warp_xla_fn(f0, *rest, p2=p2, samples=samples):
             return warp_ops.aggregate_cost_volume([f0, *rest], p2, samples)
 
-        add(f"warp_xla_{stage} D={d}", warp_xla_fn, tuple(feats), it=max(2, iters // 4))
+        # the XLA-gather A/B row costs ~30 min of compile at full res for
+        # a path that never ships (its r4/r5 numbers are on record:
+        # 496/1794/779 ms) — opt-in so default stagetime fits its timeout
+        if "--xla-rows" in sys.argv:
+            add(f"warp_xla_{stage} D={d}", warp_xla_fn, tuple(feats),
+                it=max(2, iters // 4))
 
         from dmvsnet_tpu.ops.pallas import aggregate_cost_volume_epipolar
 
@@ -396,7 +403,7 @@ def main():
             return aggregate_cost_volume_epipolar([f0, *rest], p2, samples)
 
         add(f"warp_epi_{stage} D={d}", warp_epi_fn, tuple(feats),
-            default=True)  # the shipped eval path (warp_impl=auto)
+            default=(s < 2))  # shipped: epipolar main pass at s1-2 only
 
         dv4 = jnp.broadcast_to(samples[:, :4], (1, 4, sh, sw))
 
@@ -404,14 +411,13 @@ def main():
             return aggregate_cost_volume_pallas([f0, *rest], p2, dv4)
 
         add(f"warp_{stage}_refine D=4", warp_ref_fn, tuple(feats),
-            cost_override=pallas_warp_cost(p2, dv4, sh, sw, c),
-            default=False)
+            cost_override=pallas_warp_cost(p2, dv4, sh, sw, c))
 
         def warp_epi_ref_fn(f0, *rest, p2=p2, dv4=dv4):
             return aggregate_cost_volume_epipolar([f0, *rest], p2, dv4)
 
         add(f"warp_epi_{stage}_refine D=4", warp_epi_ref_fn, tuple(feats),
-            default=True)  # shipped: refine fans are epipolar too (r5)
+            default=False)  # A/B: refine fans ship on the 2-D kernel (r5)
 
         cost = jax.random.normal(key, (1, d, sh, sw, 2), jnp.float32)
         reg = CostRegNet(8)
@@ -420,17 +426,15 @@ def main():
         def reg_fn(cost, rv=rv, reg=reg):
             return reg.apply(rv, cost)
 
-        add(f"costreg_{stage} D={d}", reg_fn, (cost,))
-        if s in (1, 2):  # bf16 A/B: stages 2-3 are hbm-bound at 84-139%
-            # SoL fp32 (r4 chip) — halving activation bytes is the lever
-            reg_h = CostRegNet(8, dtype=jnp.bfloat16)
-            rvh = reg_h.init(key, cost)
+        add(f"costreg_{stage} D={d}", reg_fn, (cost,), default=False)
+        # shipped eval cost U-Nets are bf16 (costreg_dtype auto on TPU)
+        reg_h = CostRegNet(8, dtype=jnp.bfloat16)
+        rvh = reg_h.init(key, cost)
 
-            def reg_fn_h(cost, rv=rvh, reg=reg_h):
-                return reg.apply(rv, cost)
+        def reg_fn_h(cost, rv=rvh, reg=reg_h):
+            return reg.apply(rv, cost)
 
-            add(f"costreg_bf16_{stage}", reg_fn_h, (cost,),
-                it=max(2, iters // 2))
+        add(f"costreg_bf16_{stage}", reg_fn_h, (cost,), default=True)
         if s == 2:  # folded-path A/B at the stage the fold activates
             reg_u = CostRegNet(8, fold_level0=False)
 
@@ -447,7 +451,15 @@ def main():
         def regr_fn(cost4, rvr=rvr, regr=regr):
             return regr.apply(rvr, cost4)
 
-        add(f"costreg_refine_{stage}", regr_fn, (cost4,))
+        add(f"costreg_refine_{stage}", regr_fn, (cost4,), default=False)
+        regr_h = CostRegNetRefine(8, dtype=jnp.bfloat16)
+        rvrh = regr_h.init(key, cost4)
+
+        def regr_fn_h(cost4, rvr=rvrh, regr=regr_h):
+            return regr.apply(rvr, cost4)
+
+        add(f"costreg_refine_bf16_{stage}", regr_fn_h, (cost4,),
+            default=True)
         if s == 2:  # refine fold A/B at full res (r2: 37 ms @ 1.5 TF/s)
             regr_u = CostRegNetRefine(8, fold_level0=False)
 
